@@ -1,0 +1,106 @@
+"""Benchmark: sustained streaming frame-ingestion FPS on real hardware.
+
+Measures the serving hot loop of the reference (demo/inference.py
+_call_for_streaming: one decoder forward per frame appending
+interval+frame tokens to the KV cache, then the response-gate readout)
+re-architected as a static-shape jitted step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference reports 10-15 FPS streaming on an A100 for the 8B
+model (README.md:13); vs_baseline uses the 12.5 midpoint.
+
+Env knobs:
+  BENCH_MODEL  = tiny | 1b | 3b | 8b   (default: 1b)
+  BENCH_FRAMES = number of frames to stream (default: 256)
+  BENCH_CTX    = KV capacity           (default: 8192)
+"""
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FPS = 12.5  # A100 reference midpoint (README.md:13)
+
+MODEL_SIZES = {
+    "tiny": dict(vocab_size=2048, hidden_size=256, intermediate_size=512,
+                 num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32),
+    "1b": dict(vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+               num_layers=16, num_heads=32, num_kv_heads=8, head_dim=64),
+    "3b": dict(vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+               num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128),
+    "8b": dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+               num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from videollm_online_tpu.core.config import LiveConfig, LlamaConfig
+    from videollm_online_tpu.models import llama, live
+    from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+    from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+    size = os.environ.get("BENCH_MODEL", "1b")
+    if size not in MODEL_SIZES:
+        raise SystemExit(
+            f"BENCH_MODEL={size!r} unknown; choose from {sorted(MODEL_SIZES)}")
+    n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
+    capacity = int(os.environ.get("BENCH_CTX", "8192"))
+
+    llama_cfg = LlamaConfig(**MODEL_SIZES[size], dtype="bfloat16")
+    cfg = LiveConfig(llama=llama_cfg, lora=None)
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg
+
+    key = jax.random.PRNGKey(0)
+    params = live.init_params(key, cfg)
+
+    # one frame step: interval token + frame_num_tokens <v> embeddings
+    step_tokens = 1 + cfg.frame_num_tokens
+    D = cfg.llama.hidden_size
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def frame_step(params, cache, frame_embeds, interval_id):
+        tok_embed = llama.embed_tokens(params["llama"],
+                                       interval_id[None, None], cfg.llama)
+        embeds = jnp.concatenate([tok_embed, frame_embeds[None]], axis=1)
+        logits, cache = llama.forward(params["llama"], cfg=cfg.llama,
+                                      inputs_embeds=embeds, kv_cache=cache,
+                                      last_logit_only=True)
+        # streaming gate (demo/inference.py:76-81) stays on device
+        probs = jax.nn.softmax(logits[0, -1].astype(jnp.float32))
+        fire = probs[cfg.frame_token_interval_id] < cfg.frame_token_interval_threshold
+        next_id = jnp.argmax(probs)
+        return cache, fire, next_id
+
+    cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity)
+    frame_embeds = jax.random.normal(
+        key, (cfg.frame_num_tokens, D), jnp.bfloat16)
+    interval_id = jnp.asarray(cfg.frame_token_interval_id, jnp.int32)
+
+    # warmup / compile (NOTE: on the axon tunnel platform block_until_ready
+    # can return early; a host scalar readback is the reliable fence)
+    cache, fire, nid = frame_step(params, cache, frame_embeds, interval_id)
+    _ = int(nid)
+
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        cache, fire, nid = frame_step(params, cache, frame_embeds, interval_id)
+    _ = (int(nid), int(cache.offset[0]))  # force the whole dispatch chain
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": f"streaming_frame_ingest_fps_{size}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

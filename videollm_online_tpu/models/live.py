@@ -1,0 +1,161 @@
+"""LiveLlama: the streaming video-dialogue model.
+
+Functional equivalent of the reference's ``LiveMixin`` +
+``LiveLlamaForCausalLM`` (models/modeling_live.py:11-42,
+models/live_llama/modeling_live_llama.py:12-70), redesigned for XLA:
+
+  * ``joint_embed`` replaces the boolean-mask scatter
+    (``inputs_embeds[v_mask] = visual``) with a static-shape cumsum gather —
+    the i-th ``<v>`` position in flattened batch order takes the i-th
+    projected frame token, matching the reference's in-order semantics;
+  * the weighted streaming CE loss mirrors modeling_live_llama.py:56-61:
+    per-token weight = ``stream_loss_weight`` on ``<v>`` positions, 1
+    elsewhere, normalized by the count of supervised labels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LiveConfig
+from . import llama
+from .llama import KVCache
+
+Params = Dict[str, Any]
+
+IGNORE_INDEX = -100
+
+
+# ---------------------------------------------------------------------------
+# connector (reference modeling_live_llama.py:18-22: Linear -> GELU -> Linear)
+
+
+def init_connector(key: jax.Array, cfg: LiveConfig) -> Params:
+    dtype = jnp.dtype(cfg.llama.dtype)
+    k1, k2 = jax.random.split(key)
+    vh, d = cfg.vision_hidden_size, cfg.llama.hidden_size
+    s1 = 1.0 / jnp.sqrt(vh)
+    s2 = 1.0 / jnp.sqrt(d)
+    return {
+        "fc1": {"w": (jax.random.uniform(k1, (vh, d), minval=-s1, maxval=s1)).astype(dtype),
+                "b": jnp.zeros((d,), dtype)},
+        "fc2": {"w": (jax.random.uniform(k2, (d, d), minval=-s2, maxval=s2)).astype(dtype),
+                "b": jnp.zeros((d,), dtype)},
+    }
+
+
+def apply_connector(connector: Params, features: jax.Array) -> jax.Array:
+    """(N, vision_hidden) -> (N, hidden). GELU matches HF GELUActivation
+    (erf-based, not tanh-approx)."""
+    h = features @ connector["fc1"]["w"] + connector["fc1"]["b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ connector["fc2"]["w"] + connector["fc2"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# model params
+
+
+def init_params(key: jax.Array, cfg: LiveConfig) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "llama": llama.init_params(k1, cfg.llama),
+        "connector": init_connector(k2, cfg),
+    }
+    if cfg.lora is not None:
+        params["lora"] = llama.init_lora_params(k3, cfg.llama, cfg.lora)
+    return params
+
+
+def visual_embed(params: Params, frames: jax.Array, cfg: LiveConfig) -> jax.Array:
+    """Project pre-extracted frame features through the connector and flatten
+    to (num_frames * tokens_per_frame, hidden). Reference modeling_live.py:21-27.
+
+    ``frames``: (N, tokens_per_frame, vision_hidden) or (N*, vision_hidden).
+    """
+    out = apply_connector(params["connector"], frames.astype(params["connector"]["fc1"]["w"].dtype))
+    return out.reshape(-1, out.shape[-1])
+
+
+def joint_embed(
+    params: Params,
+    cfg: LiveConfig,
+    input_ids: jax.Array,
+    frames: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Text embeddings with frame embeddings scattered into ``<v>`` slots.
+
+    Static-shape XLA formulation of modeling_live.py:29-42: the k-th ``<v>``
+    token in flattened (batch-major) order receives the k-th row of the
+    flattened visual embedding matrix.
+    """
+    embeds = llama.embed_tokens(params["llama"], input_ids, cfg.llama)
+    if frames is None or frames.size == 0:
+        return embeds
+    visual = visual_embed(params, frames, cfg)  # (Nv, D)
+    B, T = input_ids.shape
+    flat_ids = input_ids.reshape(-1)
+    v_mask = flat_ids == cfg.v_placeholder_id
+    # index of each <v> into the visual matrix; non-<v> positions get garbage
+    # indices but are masked out below. clip for safety when the text has
+    # more <v> slots than frames provided.
+    v_idx = jnp.clip(jnp.cumsum(v_mask) - 1, 0, visual.shape[0] - 1)
+    gathered = visual[v_idx].reshape(B, T, -1).astype(embeds.dtype)
+    return jnp.where(v_mask.reshape(B, T)[..., None], gathered, embeds)
+
+
+def forward(
+    params: Params,
+    cfg: LiveConfig,
+    input_ids: Optional[jax.Array] = None,
+    frames: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    num_valid: Optional[jax.Array] = None,
+    remat: bool = False,
+    attn_impl=None,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
+    """Returns (logits, loss or None, updated cache or None).
+
+    Loss = weighted CE per modeling_live_llama.py:56-61 (labels arrive
+    pre-shifted from the collator, so logits[t] is scored against labels[t]).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = joint_embed(params, cfg, input_ids, frames)
+    lora = params.get("lora")
+    scaling = cfg.lora.scaling if (cfg.lora is not None and lora is not None) else 1.0
+    logits, new_cache = llama.forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=inputs_embeds,
+        kv_cache=kv_cache, num_valid=num_valid, lora=lora,
+        lora_scaling=scaling, remat=remat, attn_impl=attn_impl,
+    )
+    loss = None
+    if labels is not None:
+        loss = stream_ce_loss(logits, labels, input_ids, cfg)
+    return logits, loss, new_cache
+
+
+def stream_ce_loss(logits: jax.Array, labels: jax.Array,
+                   input_ids: jax.Array, cfg: LiveConfig) -> jax.Array:
+    """Weighted cross entropy (reference modeling_live_llama.py:56-61).
+
+    weight = stream_loss_weight on ``<v>`` positions, 1 elsewhere; the sum of
+    weighted per-token losses is divided by the number of supervised tokens.
+    Unsupervised positions (label == -100) contribute 0.
+    """
+    V = logits.shape[-1]
+    flat_logits = logits.reshape(-1, V).astype(jnp.float32)
+    flat_labels = labels.reshape(-1)
+    flat_ids = input_ids.reshape(-1)
+    valid = flat_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, flat_labels, 0)
+    logp = jax.nn.log_softmax(flat_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    v_mask = flat_ids == cfg.v_placeholder_id
+    weight = jnp.where(v_mask, cfg.stream_loss_weight, 1.0)
+    nll = jnp.where(valid, nll * weight, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

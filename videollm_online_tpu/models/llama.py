@@ -1,0 +1,325 @@
+"""Pure-functional Llama-3 decoder for TPU.
+
+TPU-first design, not a torch translation:
+  * layer parameters are **stacked** on a leading layer axis and the forward
+    is a single ``lax.scan`` over layers — one compiled layer body instead of
+    32 unrolled ones (fast compiles, friendly to ``jax.checkpoint``);
+  * the KV cache is a **static-shape ring buffer** ``(L, B, Hkv, C, hd)``
+    with per-stream integer offsets; appends are `dynamic_update_slice`s and
+    attention masks by absolute position, so the same jitted program serves
+    prefill, streaming frame-appends and token-by-token decode (the reference
+    instead grows torch KV tensors dynamically, demo/inference.py:64-68);
+  * numerics: params/activations in the config dtype (bf16 on TPU), RMSNorm /
+    softmax / rope in fp32 — matches HF `LlamaForCausalLM` semantics so the
+    fp32 CPU parity tests are bit-meaningful.
+
+Functional parity target: the reference's base LLM, i.e. HF Llama-3 used by
+models/modeling_live.py:184-222 (from_pretrained + LoRA). LoRA (r/alpha from
+models/arguments_live.py:17-18) is a parameter-tree overlay applied inside
+each projection: ``y = x W + (alpha/r) * (x A^T) B^T``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LlamaConfig, LoraConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def _dense_init(key, in_dim, out_dim, dtype, scale=0.02):
+    return (jax.random.normal(key, (in_dim, out_dim)) * scale).astype(dtype)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+    dtype = jnp.dtype(cfg.dtype)
+    keys = jax.random.split(key, 12)
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+
+    def stack(k, in_dim, out_dim):
+        ks = jax.random.split(k, L)
+        return jnp.stack([_dense_init(ks[i], in_dim, out_dim, dtype) for i in range(L)])
+
+    params = {
+        "embed": (jax.random.normal(keys[0], (cfg.vocab_size, D)) * 0.02).astype(dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "wq": stack(keys[1], D, cfg.q_dim),
+            "wk": stack(keys[2], D, cfg.kv_dim),
+            "wv": stack(keys[3], D, cfg.kv_dim),
+            "wo": stack(keys[4], cfg.q_dim, D),
+            "w_gate": stack(keys[5], D, F),
+            "w_up": stack(keys[6], D, F),
+            "w_down": stack(keys[7], F, D),
+        },
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _dense_init(keys[8], D, cfg.vocab_size, dtype)
+    return params
+
+
+def init_lora_params(key: jax.Array, cfg: LlamaConfig, lora: LoraConfig) -> Params:
+    """LoRA overlay pytree. A ~ N(0, 1/r), B = 0 (standard init)."""
+    dtype = jnp.dtype(cfg.dtype)
+    L, D, F, r = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, lora.r
+    dims = {
+        "wq": (D, cfg.q_dim), "wk": (D, cfg.kv_dim), "wv": (D, cfg.kv_dim),
+        "wo": (cfg.q_dim, D),
+        "w_gate": (D, F), "w_up": (D, F), "w_down": (F, D),
+    }
+    name_map = {
+        "q_proj": "wq", "k_proj": "wk", "v_proj": "wv", "o_proj": "wo",
+        "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
+    }
+    keys = jax.random.split(key, len(dims) + 1)
+    out = {"layers": {}}
+    targets = {name_map[t] for t in lora.target_modules if t in name_map}
+    for i, (name, (din, dout)) in enumerate(dims.items()):
+        if name not in targets:
+            continue
+        a = (jax.random.normal(keys[i], (L, r, din)) / jnp.sqrt(r)).astype(dtype)
+        b = jnp.zeros((L, dout, r), dtype)
+        out["layers"][name] = {"lora_a": a, "lora_b": b}
+    if "lm_head" in lora.target_modules:
+        a = (jax.random.normal(keys[-1], (r, D)) / jnp.sqrt(r)).astype(dtype)
+        out["lm_head"] = {"lora_a": a, "lora_b": jnp.zeros((cfg.vocab_size, r), dtype)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf.astype(x.dtype)) * weight
+
+
+def dense(x: jax.Array, w: jax.Array, lora: Optional[Dict] = None,
+          scaling: float = 1.0) -> jax.Array:
+    y = x @ w
+    if lora is not None:
+        y = y + scaling * ((x @ lora["lora_a"].swapaxes(-1, -2))
+                           @ lora["lora_b"].swapaxes(-1, -2))
+    return y
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """positions (..., T) int32 -> cos/sin (..., T, head_dim) fp32.
+
+    Same layout as HF: angles for the first half duplicated to the second.
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, hd/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, H, T, hd); cos/sin: (B, T, hd)."""
+    c = cos[:, None, :, :].astype(x.dtype)
+    s = sin[:, None, :, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * c + rotated * s
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV ring: k/v (L, B, Hkv, C, hd), offset (B,) int32.
+
+    ``offset[b]`` = number of valid tokens already written for stream ``b``.
+    Appends pack valid tokens first; bucket padding is written past the end
+    and overwritten by the next append (never attended: the causal mask is
+    ``slot <= q_position`` and padding slots sit after every valid query).
+    """
+    k: jax.Array
+    v: jax.Array
+    offset: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
+                  dtype=None) -> KVCache:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, capacity, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def trim_kv_cache(cache: KVCache, new_offset: jax.Array) -> KVCache:
+    """Rewind the cache to ``new_offset`` valid tokens (the static-shape
+    equivalent of the reference's trim_past_key_values slicing,
+    models/modeling_live.py:170-171 — no data movement needed, stale slots
+    are simply overwritten/never attended)."""
+    return cache._replace(offset=jnp.broadcast_to(jnp.asarray(new_offset, jnp.int32),
+                                                  cache.offset.shape))
+
+
+def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+    """Masked multi-head attention (XLA reference path).
+
+    q: (B, Hq, S, hd); k/v: (B, Hkv, C, hd)
+    q_pos: (B, S) absolute positions of the queries
+    kv_valid_upto: unused placeholder for future per-slot masks.
+    mask: slot j attends iff j <= q_pos.
+    """
+    B, Hq, S, hd = q.shape
+    C = k.shape[2]
+    if num_groups > 1:
+        k = jnp.repeat(k, num_groups, axis=1)
+        v = jnp.repeat(v, num_groups, axis=1)
+    scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
+    logits = jnp.einsum("bhsd,bhcd->bhsc", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    slot = jnp.arange(C, dtype=jnp.int32)
+    mask = slot[None, None, None, :] <= q_pos[:, None, :, None]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhsc,bhcd->bhsd", probs, v)
+
+
+def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
+           lora_scaling, attn_impl):
+    """One transformer block. kv_slice: (k_l, v_l, write_offset) or None."""
+    B, S, D = h.shape
+    Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def lget(name):
+        return None if layer_lora is None else layer_lora.get(name)
+
+    x = rms_norm(h, layer_params["attn_norm"], cfg.rms_norm_eps)
+    q = dense(x, layer_params["wq"], lget("wq"), lora_scaling)
+    k = dense(x, layer_params["wk"], lget("wk"), lora_scaling)
+    v = dense(x, layer_params["wv"], lget("wv"), lora_scaling)
+    q = q.reshape(B, S, Hq, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_slice is not None:
+        k_cache, v_cache, offset = kv_slice  # (B, Hkv, C, hd), (B,)
+
+        def write(cache, new):
+            def one(c, n, off):
+                return jax.lax.dynamic_update_slice(c, n, (0, off, 0))
+            return jax.vmap(one)(cache, new, offset)
+
+        k_cache = write(k_cache, k)
+        v_cache = write(v_cache, v)
+        attn_out = attn_impl(q, k_cache, v_cache, q_pos, None,
+                             num_groups=Hq // Hkv)
+        new_kv = (k_cache, v_cache)
+    else:
+        attn_out = attn_impl(q, k, v, q_pos, None, num_groups=Hq // Hkv)
+        new_kv = None
+
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, Hq * hd)
+    h = h + dense(attn_out, layer_params["wo"], lget("wo"), lora_scaling)
+
+    x = rms_norm(h, layer_params["mlp_norm"], cfg.rms_norm_eps)
+    gate = dense(x, layer_params["w_gate"], lget("w_gate"), lora_scaling)
+    up = dense(x, layer_params["w_up"], lget("w_up"), lora_scaling)
+    h = h + dense(jax.nn.silu(gate) * up, layer_params["w_down"],
+                  lget("w_down"), lora_scaling)
+    return h, new_kv
+
+
+def forward(
+    params: Params,
+    *,
+    cfg: LlamaConfig,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    kv_cache: Optional[KVCache] = None,
+    num_valid: Optional[jax.Array] = None,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+    attn_impl=None,
+    return_hidden: bool = False,
+    last_logit_only: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder.
+
+    Without a cache: full causal forward over (B, S).
+    With a cache: appends the (B, S) chunk at ``kv_cache.offset`` per stream
+    (``num_valid`` (B,) of the S tokens are real; the rest is bucket padding)
+    and attends over the whole ring. Returns (logits, updated cache).
+    """
+    attn_impl = attn_impl or _attention
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, input_ids, cfg)
+    h = inputs_embeds
+    B, S, D = h.shape
+
+    if positions is None:
+        base = kv_cache.offset if kv_cache is not None else jnp.zeros((B,), jnp.int32)
+        positions = base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    layer_lora = (lora or {}).get("layers") or None
+
+    def body(h, xs):
+        layer_params, layer_lora_x, kv_l = xs
+        kv_slice = None
+        if kv_cache is not None:
+            kv_slice = (kv_l[0], kv_l[1], kv_cache.offset)
+        h, new_kv = _layer(h, layer_params, layer_lora_x, cos, sin, positions,
+                           kv_slice, cfg, lora_scaling, attn_impl)
+        return h, new_kv
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    kv_xs = (kv_cache.k, kv_cache.v) if kv_cache is not None else (
+        jnp.zeros((cfg.num_layers, 0)), jnp.zeros((cfg.num_layers, 0)))
+    h, new_kvs = jax.lax.scan(body, h, (params["layers"], layer_lora, kv_xs))
+
+    if last_logit_only:
+        h = h[:, -1:]
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        logits = h
+    else:
+        logits = lm_head(params, h, cfg, lora=lora, lora_scaling=lora_scaling)
+
+    new_cache = None
+    if kv_cache is not None:
+        nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
+        new_cache = KVCache(k=new_kvs[0], v=new_kvs[1],
+                            offset=kv_cache.offset + nv)
+    return logits, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    """Token embedding; ids are clamped into the vocab so the out-of-vocab
+    ``<v>`` placeholder id is safe (reference modeling_live.py:38)."""
+    ids = jnp.clip(input_ids, 0, cfg.vocab_size - 1)
+    return params["embed"][ids]
+
+
+def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
+            lora: Optional[Params] = None, lora_scaling: float = 1.0) -> jax.Array:
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    head_lora = (lora or {}).get("lm_head")
+    return dense(h, w, head_lora, lora_scaling)

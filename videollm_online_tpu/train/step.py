@@ -1,0 +1,124 @@
+"""pjit training step: weighted streaming CE over LoRA + connector.
+
+TPU-native replacement for HF Trainer + DeepSpeed ZeRO (reference train.py,
+engine/trainer_with_gen2eval.py, configs/deepspeed/*.json):
+
+  * one jitted step = forward (remat over layers) + backward + AdamW update;
+  * gradient accumulation is a ``lax.scan`` over a leading microbatch axis
+    inside the same jit (reference: grad-accum 8, scripts/ego4d/live1+.sh);
+  * distribution is declarative: parameters/optimizer state follow the
+    PartitionSpecs from parallel/sharding.py; batch is sharded over ``data``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import LiveConfig
+from ..models import live
+from . import optim
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    trainable: Dict[str, Any]
+    opt_state: Any
+
+
+def init_train_state(params: Dict[str, Any], tx: optax.GradientTransformation
+                     ) -> Tuple[TrainState, Dict[str, Any]]:
+    trainable, frozen = optim.split_trainable(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                      opt_state=tx.init(trainable)), frozen
+
+
+def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
+            attn_impl=None):
+    params = optim.merge_params(trainable, frozen)
+    _, loss, _ = live.forward(
+        params, cfg,
+        input_ids=batch["input_ids"],
+        frames=batch.get("frames"),
+        labels=batch["labels"],
+        remat=remat,
+        attn_impl=attn_impl,
+    )
+    return loss
+
+
+def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
+               tx: optax.GradientTransformation, accum_steps: int = 1,
+               attn_impl=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer step. With ``accum_steps > 1``, every array in ``batch``
+    must carry a leading (accum_steps, ...) axis; gradients are averaged by a
+    scan before the update."""
+
+    def grads_of(b):
+        return jax.value_and_grad(loss_fn)(state.trainable, frozen, cfg, b,
+                                           attn_impl=attn_impl)
+
+    if accum_steps == 1:
+        loss, grads = grads_of(batch)
+    else:
+        def body(carry, microbatch):
+            loss_acc, grad_acc = carry
+            loss, grads = grads_of(microbatch)
+            return (loss_acc + loss,
+                    jax.tree.map(jnp.add, grad_acc, grads)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), batch)
+        loss = loss / accum_steps
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+    trainable = optax.apply_updates(state.trainable, updates)
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "step": state.step,
+    }
+    return TrainState(state.step + 1, trainable, opt_state), metrics
+
+
+def make_jitted_train_step(cfg: LiveConfig, tx, accum_steps: int = 1,
+                           attn_impl=None):
+    """Jitted step; shard the inputs with :func:`shard_params` /
+    :func:`shard_batch` first and GSPMD propagates from argument shardings."""
+    step = functools.partial(train_step, cfg=cfg, tx=tx,
+                             accum_steps=accum_steps, attn_impl=attn_impl)
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def shard_params(params, mesh, policy: str = "fsdp_tp"):
+    """device_put a param pytree according to the sharding rules."""
+    from jax.sharding import NamedSharding
+    from ..parallel import sharding as shd
+
+    specs = shd.param_specs(params, policy)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_batch(batch, mesh, accum_axis: bool = False):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+
+    spec = P(None, DATA_AXIS) if accum_axis else P(DATA_AXIS)
+    out = {}
+    for k, v in batch.items():
+        if v is None:
+            out[k] = None
+        elif k == "frames":
+            # frames are flattened across the batch (collator concat) — their
+            # leading dim is total-frames, not batch; replicate in v0 (the
+            # joint_embed gather then stays shard-local on the text side).
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
