@@ -1,0 +1,218 @@
+"""End-to-end serving equivalence: LiveInferEngine (static KV ring, bucketed
+appends, device-side burst loop) must produce EXACTLY the same dialogue as an
+oracle that re-implements the reference's sequential logic
+(demo/inference.py:40-124) by full-sequence recomputation with no cache."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videollm_online_tpu.core.config import tiny_live_config
+from videollm_online_tpu.models import live, llama
+from videollm_online_tpu.serve.engine import LiveInferEngine
+from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+
+class ReferenceOracle:
+    """Faithful port of the reference control flow; O(n^2) full forwards."""
+
+    MAX_T = 512  # fixed padded length -> single XLA compile
+
+    def __init__(self, params, cfg, tok, max_new=20):
+        self.params, self.cfg, self.tok = params, cfg, tok
+        self.max_new = max_new
+        self.start_ids = list(tok.apply_chat_template(
+            [{"role": "system", "content": cfg.system_prompt}],
+            tokenize=True, add_stream_prompt=True))
+        self.stream_prompt_ids = list(tok.encode("\n["))
+        self.embeds = None  # (1, t, D) growing array
+        self.last_ids = []  # list[int]
+        self.frame_q = []
+        self.query_q = []
+
+        @jax.jit
+        def fwd(params, padded, n):
+            logits, _ = llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=padded,
+                logit_gather_positions=n - 1)
+            return logits[0, 0]
+
+        self._fwd = fwd
+
+    def _logits_last(self):
+        n = self.embeds.shape[1]
+        assert n <= self.MAX_T
+        padded = jnp.zeros((1, self.MAX_T, self.embeds.shape[2]),
+                           self.embeds.dtype)
+        padded = padded.at[:, :n].set(self.embeds)
+        return np.asarray(self._fwd(self.params, padded,
+                                    jnp.asarray([n], jnp.int32)),
+                          np.float32)
+
+    def _append(self, emb):
+        self.embeds = emb if self.embeds is None else jnp.concatenate(
+            [self.embeds, emb], axis=1)
+
+    def _embed_ids(self, ids):
+        return llama.embed_tokens(self.params["llama"],
+                                  jnp.asarray([ids], jnp.int32), self.cfg.llama)
+
+    def _gate(self, logits_row):
+        iv = self.cfg.frame_token_interval_id
+        iv = self.cfg.eos_token_id if iv is None else iv
+        e = np.exp(logits_row - logits_row.max())
+        probs = e / e.sum()
+        if probs[iv] < self.cfg.frame_token_interval_threshold:
+            probs[iv] = 0.0
+        nxt = int(np.argmax(probs))
+        return nxt != iv, nxt
+
+    def step(self):
+        # _call_for_streaming (demo/inference.py:54-82)
+        while self.frame_q:
+            if self.query_q and self.frame_q[0][0] > self.query_q[0][0]:
+                t, q = self.query_q.pop(0)
+                return self._respond(t, q)
+            t, femb = self.frame_q.pop(0)
+            if self.embeds is None:
+                ids = self.start_ids
+            elif self.last_ids == [self.cfg.eos_token_id]:
+                ids = self.last_ids + self.stream_prompt_ids
+            else:
+                ids = self.last_ids
+            parts = [femb[None]] if not ids else [self._embed_ids(ids), femb[None]]
+            self._append(jnp.concatenate(parts, axis=1)
+                         if len(parts) > 1 else parts[0])
+            row = self._logits_last()
+            if self.query_q and t >= self.query_q[0][0]:
+                tq, q = self.query_q.pop(0)
+                return self._respond(tq, q)
+            fire, nxt = self._gate(row)
+            self.last_ids = [nxt]
+            if fire:
+                return self._respond(t, None)
+        return None, None
+
+    def _respond(self, t, query):
+        if query is not None:
+            ids = list(self.tok.apply_chat_template(
+                [{"role": "user", "content": query}], tokenize=True,
+                add_stream_query_prompt=True, add_generation_prompt=True))
+        else:
+            ids = list(self.tok.encode("]\nAssistant:"))
+        self._append(self._embed_ids(ids))
+        out = []
+        for i in range(self.max_new):
+            row = self._logits_last()
+            nxt = int(np.argmax(row))
+            out.append(nxt)
+            # the final token (EOS or budget-limited) is never fed back
+            # (reference fast_greedy_generate, modeling_live.py:173-182)
+            if nxt == self.cfg.eos_token_id or i == self.max_new - 1:
+                break
+            self._append(self._embed_ids([nxt]))
+        self.last_ids = [out[-1]]
+        resp = self.tok.decode(out, skip_special_tokens=True)
+        qs = f"(Video Time = {t}s) User: {query}" if query else None
+        return qs, f"(Video Time = {t}s) Assistant:{resp}"
+
+
+def _setup(threshold, interval_id=None, seed=0):
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(frame_token_interval_threshold=threshold,
+                          max_response_tokens=20)
+    if interval_id is not None:
+        cfg = cfg.replace(frame_token_interval_id=interval_id)
+    params = live.init_params(jax.random.PRNGKey(seed), cfg)
+    return cfg, tok, params
+
+
+def _run_pair(cfg, tok, params, frame_times, queries, n_frames):
+    rng = np.random.RandomState(0)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+
+    engine = LiveInferEngine(params, tok, cfg, kv_capacity=512)
+    engine.load_video(feats)
+    oracle = ReferenceOracle(params, cfg, tok,
+                             max_new=cfg.max_response_tokens)
+    proj = np.asarray(live.visual_embed(params, jnp.asarray(feats), cfg))
+    proj = proj.reshape(n_frames, cfg.frame_num_tokens, -1)
+
+    transcripts_e, transcripts_o = [], []
+    qi = 0
+    for t in frame_times:
+        while qi < len(queries) and queries[qi][0] <= t:
+            engine.input_query_stream(queries[qi][1], video_time=queries[qi][0])
+            oracle.query_q.append(queries[qi])
+            qi += 1
+        engine.input_video_stream(t)
+        fidx = min(int(t * cfg.frame_fps), n_frames - 1)
+        # feed oracle the same frames the engine just enqueued
+        while getattr(oracle, "_next_frame", 0) <= fidx:
+            i = getattr(oracle, "_next_frame", 0)
+            oracle.frame_q.append((i / cfg.frame_fps, jnp.asarray(proj[i])))
+            oracle._next_frame = i + 1
+        # drain both
+        while True:
+            qe, re = engine()
+            qo, ro = oracle.step()
+            assert (qe is None) == (qo is None)
+            assert (re is None) == (ro is None)
+            if re is None:
+                break
+            transcripts_e.append((qe, re))
+            transcripts_o.append((qo, ro))
+    return transcripts_e, transcripts_o
+
+
+def test_engine_matches_oracle_always_fire():
+    """Random weights almost always fire the gate -> every frame responds;
+    exercises start prefill, ']\\nAssistant:' prompts, EOS reopen prepends."""
+    cfg, tok, params = _setup(threshold=0.725)
+    te, to = _run_pair(cfg, tok, params,
+                       frame_times=[0.0, 0.5, 1.0, 1.5, 2.0],
+                       queries=[], n_frames=6)
+    assert te == to
+    assert len(te) >= 1
+
+
+def test_engine_matches_oracle_with_queries():
+    cfg, tok, params = _setup(threshold=0.725, seed=1)
+    te, to = _run_pair(cfg, tok, params,
+                       frame_times=[0.0, 0.5, 1.0, 1.5],
+                       queries=[(0.4, "what is happening?"),
+                                (1.2, "and now?")],
+                       n_frames=5)
+    assert te == to
+    assert any(q is not None for q, _ in te)
+
+
+def test_engine_matches_oracle_streaming_interval():
+    """Pin the interval id to the token the model actually argmaxes first so
+    multi-frame ','-chains occur (burst loop exercised), then divergence
+    eventually fires."""
+    cfg, tok, params = _setup(threshold=0.0)
+    # find the model's favourite continuation token
+    probe_cfg, probe_tok, _ = _setup(threshold=0.0)
+    oracle = ReferenceOracle(params, probe_cfg, probe_tok)
+    rng = np.random.RandomState(0)
+    f0 = jnp.asarray(rng.randn(1, cfg.frame_num_tokens,
+                               cfg.vision_hidden_size).astype(np.float32))
+    proj0 = live.visual_embed(params, f0, cfg).reshape(
+        1, cfg.frame_num_tokens, -1)
+    oracle.frame_q.append((0.0, proj0[0]))
+    oracle.step()
+    fav = oracle.last_ids[0] if oracle.last_ids else 0
+    if fav == cfg.eos_token_id:
+        pytest.skip("degenerate favourite token")
+
+    cfg2, tok2, _ = _setup(threshold=0.0, interval_id=int(fav))
+    te, to = _run_pair(cfg2, tok2, params,
+                       frame_times=[0.0, 0.5, 1.0, 1.5, 2.0, 2.5],
+                       queries=[(2.2, "ok?")], n_frames=6)
+    assert te == to

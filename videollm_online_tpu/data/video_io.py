@@ -1,0 +1,120 @@
+"""Host-side video IO: decode, fps-resample, scale+pad — CPU work feeding
+device buffers.
+
+The reference shells out to a static ffmpeg binary for preprocessing
+(data/utils.py:51-66: fps resample + aspect-preserving scale to
+``resolution`` max-side + center zero-pad to square) and uses torchvision's
+C++ video_reader for decode (data/utils.py:106-113, demo/inference.py:112).
+On a TPU-VM this stays host-CPU work: we keep the ffmpeg-subprocess design
+(it is I/O-side, not accelerator work — SURVEY.md §2.2) and read raw frames
+over a pipe; pre-extracted feature files (.npy/.npz/.pt) bypass decode
+entirely, which is how training/eval always runs (features are pre-extracted,
+data/utils.py:86-104).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_FFMPEG = None
+
+
+def find_ffmpeg() -> Optional[str]:
+    global _FFMPEG
+    if _FFMPEG is None:
+        _FFMPEG = (os.environ.get("FFMPEG_BINARY")
+                   or shutil.which("ffmpeg") or "")
+    return _FFMPEG or None
+
+
+def _scale_pad_filter(resolution: int) -> str:
+    """Aspect-preserving scale to max-side ``resolution`` + center zero-pad
+    to a square (mirrors data/utils.py:51-66)."""
+    r = resolution
+    return (f"scale=w={r}:h={r}:force_original_aspect_ratio=decrease,"
+            f"pad={r}:{r}:(ow-iw)/2:(oh-ih)/2:color=black")
+
+
+def ffmpeg_once(src_path: str, dst_path: str, *, fps: Optional[float] = None,
+                resolution: Optional[int] = None) -> None:
+    """Resample + resize a video file once (reference data/utils.py:51-66)."""
+    ffmpeg = find_ffmpeg()
+    if not ffmpeg:
+        raise RuntimeError("no ffmpeg binary found (set FFMPEG_BINARY)")
+    os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+    cmd = [ffmpeg, "-y", "-loglevel", "error", "-i", src_path]
+    filters = []
+    if fps is not None:
+        filters.append(f"fps={fps}")
+    if resolution is not None:
+        filters.append(_scale_pad_filter(resolution))
+    if filters:
+        cmd += ["-vf", ",".join(filters)]
+    cmd += [dst_path]
+    subprocess.run(cmd, check=True)
+
+
+def read_video_frames(path: str, *, fps: Optional[float] = None,
+                      resolution: Optional[int] = None) -> np.ndarray:
+    """Decode to (T, 3, H, W) uint8. Feature/array files pass through."""
+    if path.endswith((".npy", ".npz", ".pt")):
+        return load_array(path)
+    ffmpeg = find_ffmpeg()
+    if not ffmpeg:
+        raise RuntimeError(
+            f"cannot decode {path}: no ffmpeg binary in this environment; "
+            "provide pre-extracted features (.npy/.pt) instead")
+    res = resolution or 384
+    filters = []
+    if fps is not None:
+        filters.append(f"fps={fps}")
+    filters.append(_scale_pad_filter(res))
+    cmd = [ffmpeg, "-loglevel", "error", "-i", path,
+           "-vf", ",".join(filters),
+           "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"]
+    raw = subprocess.run(cmd, check=True, capture_output=True).stdout
+    n = len(raw) // (res * res * 3)
+    frames = np.frombuffer(raw[: n * res * res * 3], np.uint8)
+    return frames.reshape(n, res, res, 3).transpose(0, 3, 1, 2)
+
+
+def load_array(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return z[list(z.keys())[0]]
+    if path.endswith(".pt"):
+        import torch
+        t = torch.load(path, weights_only=True, map_location="cpu")
+        if t.dtype == torch.bfloat16:
+            t = t.float()
+        return t.numpy()
+    raise ValueError(f"unsupported array file: {path}")
+
+
+def save_array(path: str, arr: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".npy"):
+        np.save(path, arr)
+    elif path.endswith(".pt"):
+        import torch
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+    else:
+        raise ValueError(f"unsupported array file: {path}")
+
+
+def probe_duration(path: str) -> float:
+    ffprobe = shutil.which("ffprobe")
+    if not ffprobe:
+        raise RuntimeError("ffprobe not available")
+    out = subprocess.run(
+        [ffprobe, "-v", "error", "-print_format", "json", "-show_format", path],
+        check=True, capture_output=True).stdout
+    return float(json.loads(out)["format"]["duration"])

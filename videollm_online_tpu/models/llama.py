@@ -258,6 +258,7 @@ def forward(
     attn_impl=None,
     return_hidden: bool = False,
     last_logit_only: bool = False,
+    logit_gather_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder.
 
@@ -295,7 +296,11 @@ def forward(
         jnp.zeros((cfg.num_layers, 0)), jnp.zeros((cfg.num_layers, 0)))
     h, new_kvs = jax.lax.scan(body, h, (params["layers"], layer_lora, kv_xs))
 
-    if last_logit_only:
+    if logit_gather_positions is not None:
+        # (B,) positions within the chunk (e.g. last *valid* slot of a
+        # bucket-padded append) — avoids the full-vocab lm_head on padding
+        h = h[jnp.arange(h.shape[0]), logit_gather_positions][:, None]
+    elif last_logit_only:
         h = h[:, -1:]
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     if return_hidden:

@@ -1,0 +1,120 @@
+"""CLI streaming demo: paced frame feed + live dialogue + FPS accounting.
+
+Equivalent of the reference CLI (demo/cli.py): preprocess/load a video, seed
+an initial query, then tick frame-by-frame calling the engine and measuring
+per-frame wall time -> "Average Processing FPS"; the conversation history is
+dumped as JSON at the end (demo/cli.py:31-49).
+
+Usage:
+  python -m videollm_online_tpu.serve.cli --video path.{mp4,npy,pt} \
+      [--checkpoint ORBAX_DIR] [--model_size tiny|1b|8b] \
+      [--query "Please narrate the video in real time."] \
+      [--num_ticks 100] [--output out.json]
+
+Without a checkpoint a randomly-initialized model is used (smoke/perf mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_engine(args):
+    import jax
+    from ..core.config import LiveConfig, LlamaConfig, live1_plus_config
+    from ..models import live
+    from ..serve.engine import LiveInferEngine
+    from ..tokenizer.live_tokenizer import LiveTokenizer
+    from ..tokenizer.tiny import ByteTokenizer
+
+    sizes = {
+        "tiny": dict(vocab_size=2048, hidden_size=256, intermediate_size=512,
+                     num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32),
+        "1b": dict(vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+                   num_layers=16, num_heads=32, num_kv_heads=8, head_dim=64),
+        "8b": dict(),
+    }
+    llama_cfg = LlamaConfig(**sizes[args.model_size], dtype=args.dtype)
+    cfg = live1_plus_config(llama=llama_cfg, lora=None)
+
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        from ..tokenizer.live_tokenizer import build_live_tokenizer
+        tok = build_live_tokenizer(AutoTokenizer.from_pretrained(args.tokenizer),
+                                   cfg)
+    else:
+        tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg
+
+    if args.checkpoint:
+        from ..train.checkpoints import restore_params
+        params = restore_params(args.checkpoint)
+    else:
+        params = live.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    vision_params = None
+    if args.vision_checkpoint:
+        from ..train.checkpoints import restore_params
+        vision_params = restore_params(args.vision_checkpoint)
+    elif args.with_vision:
+        from ..models import siglip
+        vision_params = siglip.init_params(jax.random.PRNGKey(1), cfg.vision)
+
+    return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
+                           kv_capacity=args.kv_capacity), cfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--video", required=True,
+                   help="mp4 (needs ffmpeg) or .npy/.pt features")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--vision_checkpoint", default="")
+    p.add_argument("--tokenizer", default="",
+                   help="HF tokenizer path (omit for the byte test tokenizer)")
+    p.add_argument("--model_size", default="tiny",
+                   choices=["tiny", "1b", "8b"])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--with_vision", action="store_true")
+    p.add_argument("--query", default="Please narrate the video in real time.")
+    p.add_argument("--num_ticks", type=int, default=100)
+    p.add_argument("--kv_capacity", type=int, default=16384)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="cli_history.json")
+    args = p.parse_args(argv)
+
+    engine, cfg = build_engine(args)
+    engine.load_video(args.video)
+    engine.input_query_stream(args.query, video_time=0.0)
+
+    fps = engine.frame_fps
+    history = {"video": args.video, "messages": []}
+    times = []
+    max_time = engine.num_video_frames / fps
+    for i in range(args.num_ticks):
+        t = i / fps
+        if t > max_time:
+            break
+        start = time.perf_counter()
+        engine.input_video_stream(t)
+        query, response = engine()
+        dt = time.perf_counter() - start
+        times.append(dt)
+        for role, msg in (("user", query), ("assistant", response)):
+            if msg:
+                history["messages"].append(
+                    {"role": role, "content": msg, "fps": 1.0 / dt})
+                print(msg)
+    avg_fps = len(times) / sum(times) if times else 0.0
+    history["average_processing_fps"] = avg_fps
+    print(f"Average Processing FPS: {avg_fps:.2f}")
+    with open(args.output, "w") as f:
+        json.dump(history, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

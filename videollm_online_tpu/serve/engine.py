@@ -1,0 +1,348 @@
+"""LiveInferEngine — the real-time streaming serving loop, TPU-native.
+
+Public API mirrors the reference ``LiveInfer`` (demo/inference.py:12-124):
+``load_video`` / ``input_video_stream`` / ``input_query_stream`` /
+``__call__`` / ``reset``. The internals are redesigned for XLA:
+
+  * the KV cache is the static ring from models/llama.py — no growing torch
+    tensors (reference demo/inference.py:64-68);
+  * frame ingestion is a **device-side while_loop over a frame burst**
+    (`ingest_burst`): each step appends [prev-token(s), 10 frame tokens] to
+    the cache, evaluates the response gate (P(interval) < 0.725 →
+    zero-out + argmax, demo/inference.py:76-81), and early-exits on fire —
+    ONE dispatch per burst instead of one forward per frame;
+  * responses run as a single on-device greedy while_loop
+    (models/generate.py) with the reference's 100-token budget;
+  * text prepends are bucket-padded; valid tokens pack contiguously via a
+    right-align + circular-roll trick so the ring stays dense.
+
+Host/device sync points per burst: one 4-scalar readback (frames consumed,
+fire flag, next token, cache offset) — the reference syncs every frame AND
+every generated token.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LiveConfig
+from ..models import generate as gen_mod
+from ..models import llama, live
+from ..models.llama import KVCache
+from ..tokenizer.live_tokenizer import LiveTokenizer
+
+TEXT_BUCKET = 4        # in-burst prepend: '' | ',' | eos + '\n['
+PROMPT_BUCKETS = (32, 64, 128, 256)  # prefill / query-response prompts
+
+
+def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
+                      ) -> jax.Array:
+    """Right-aligned valid rows -> valid-first rows (circular left roll)."""
+    return jnp.roll(embeds, -(bucket - num_valid), axis=1)
+
+
+class LiveInferEngine:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        tokenizer: LiveTokenizer,
+        cfg: Optional[LiveConfig] = None,
+        *,
+        vision_params: Optional[Dict[str, Any]] = None,
+        kv_capacity: int = 16384,
+        frame_fps: Optional[float] = None,
+        attn_impl=None,
+    ):
+        self.params = params
+        self.tokenizer = tokenizer
+        self.cfg = cfg or tokenizer.cfg
+        assert self.cfg.v_placeholder_id is not None, "config missing token ids"
+        self.vision_params = vision_params
+        self.kv_capacity = kv_capacity
+        self.frame_fps = frame_fps or self.cfg.frame_fps
+        self.frame_num_tokens = self.cfg.frame_num_tokens
+        self.attn_impl = attn_impl
+        self.hidden = self.cfg.llama.hidden_size
+
+        tok = tokenizer
+        self._start_ids = np.asarray(tok.apply_chat_template(
+            [{"role": "system", "content": self.cfg.system_prompt}],
+            tokenize=True, add_stream_prompt=True), np.int32)
+        self._stream_prompt_ids = np.asarray(
+            tok.encode("\n["), np.int32)  # after-EOS reopen (inference.py:65)
+        self._gen_prompt_text = "]\nAssistant:"  # add_stream_generation_prompt
+
+        self._build_jitted()
+        self.reset()
+
+    # ------------------------------------------------------------------ jit
+    def _build_jitted(self):
+        cfg = self.cfg
+        lora = self.params.get("lora")
+        scaling = cfg.lora.scaling if (cfg.lora is not None and lora is not None) else 1.0
+        interval_id = cfg.frame_token_interval_id
+        use_interval = interval_id is not None
+        gate_ref_id = interval_id if use_interval else cfg.eos_token_id
+        threshold = cfg.frame_token_interval_threshold
+        fnt = self.frame_num_tokens
+
+        def fwd(params, embeds, cache, num_valid):
+            return llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                kv_cache=cache, num_valid=num_valid, lora=params.get("lora"),
+                lora_scaling=scaling, attn_impl=self.attn_impl)
+
+        def prefill(params, cache, ids, num_valid):
+            embeds = llama.embed_tokens(params["llama"], ids, cfg.llama)
+            embeds = _pack_valid_first(embeds, ids.shape[1], num_valid)
+            _, cache = fwd(params, embeds, cache, num_valid)
+            return cache
+
+        def gate(logits_row):
+            probs = jax.nn.softmax(logits_row.astype(jnp.float32))
+            p_int = probs[gate_ref_id]
+            masked = jnp.where(p_int < threshold, probs.at[gate_ref_id].set(0.0),
+                               probs)
+            next_id = jnp.argmax(masked).astype(jnp.int32)
+            fire = next_id != gate_ref_id
+            return fire, next_id
+
+        def ingest_burst(params, cache, first_text, first_n, frames, n_frames):
+            """frames: (K, fnt, hidden) connector outputs. Early-exits on
+            gate fire. Returns (cache, consumed, fire, next_id)."""
+            K = frames.shape[0]
+            interval_text = jnp.zeros((TEXT_BUCKET,), jnp.int32)
+            interval_text = interval_text.at[-1].set(
+                gate_ref_id if use_interval else 0)
+            interval_n = jnp.asarray(1 if use_interval else 0, jnp.int32)
+
+            def cond(st):
+                i, _, fire, _ = st
+                return jnp.logical_and(i < n_frames, jnp.logical_not(fire))
+
+            def body(st):
+                i, cache, _, _ = st
+                text = jnp.where(i == 0, first_text, interval_text)
+                n_text = jnp.where(i == 0, first_n, interval_n)
+                t_emb = llama.embed_tokens(params["llama"], text[None], cfg.llama)
+                f_emb = jax.lax.dynamic_slice(
+                    frames, (i, 0, 0), (1, fnt, self.hidden)).astype(t_emb.dtype)
+                embeds = jnp.concatenate([t_emb, f_emb], axis=1)
+                num_valid = (n_text + fnt)[None]
+                embeds = jnp.roll(embeds, -(TEXT_BUCKET - n_text), axis=1)
+                logits, cache = llama.forward(
+                    params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                    kv_cache=cache, num_valid=num_valid,
+                    lora=params.get("lora"), lora_scaling=scaling,
+                    attn_impl=self.attn_impl,
+                    logit_gather_positions=num_valid - 1)
+                fire, next_id = gate(logits[0, 0])
+                return i + 1, cache, fire, next_id
+
+            i, cache, fire, next_id = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), cache,
+                             jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+            return cache, i, fire, next_id
+
+        def respond(params, cache, prompt_ids, num_valid):
+            embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
+            embeds = _pack_valid_first(embeds, prompt_ids.shape[1], num_valid)
+            return gen_mod.greedy_generate(
+                params, cfg, cache, embeds, num_valid,
+                attn_impl=self.attn_impl)
+
+        self._prefill = jax.jit(prefill, donate_argnums=(1,))
+        self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
+        self._respond = jax.jit(respond, donate_argnums=(1,))
+        self._project = jax.jit(
+            lambda p, feats: live.visual_embed(p, feats, cfg))
+
+        if self.vision_params is not None:
+            from ..models import siglip
+
+            def encode_frames(vparams, cparams, pixels):
+                feats = siglip.frame_features(
+                    vparams, siglip.preprocess(pixels, cfg.vision),
+                    cfg.vision, cfg)
+                flat = live.visual_embed(cparams, feats, cfg)
+                return flat.reshape(-1, fnt, self.hidden)
+
+            self._encode_frames = jax.jit(encode_frames)
+
+    # ---------------------------------------------------------------- state
+    def reset(self):
+        self.query_queue = collections.deque()
+        self.frame_embeds_queue = collections.deque()
+        self.video_time = 0.0
+        self.last_frame_idx = -1
+        self.video_tensor = None
+        self.num_video_frames = 0
+        self.cache = llama.init_kv_cache(
+            self.cfg.llama, batch=1, capacity=self.kv_capacity,
+            dtype=jnp.dtype(self.cfg.llama.dtype))
+        self._started = False
+        # pending text prepend (token ids) to feed before the next frame
+        self._pending_prepend: List[int] = []
+
+    # ------------------------------------------------------------------ I/O
+    def load_video(self, video: Any):
+        """Accepts (T, 3, H, W) uint8 frames, (T, vision_hidden) /
+        (T, fnt, vision_hidden) pre-extracted features, or a path loadable by
+        data.video_io. Mirrors demo/inference.py:111-115."""
+        if isinstance(video, str):
+            from ..data.video_io import read_video_frames
+            video = read_video_frames(video, fps=self.frame_fps,
+                                      resolution=self.cfg.frame_resolution)
+        video = np.asarray(video)
+        self.video_tensor = video
+        self.num_video_frames = video.shape[0]
+        self.video_duration = video.shape[0] / self.frame_fps
+
+    def input_query_stream(self, query: str, video_time: Optional[float] = None):
+        t = self.video_time if video_time is None else video_time
+        self.query_queue.append((t, query))
+
+    def input_video_stream(self, video_time: float):
+        """Encode/enqueue all frames up to ``video_time``
+        (demo/inference.py:102-109)."""
+        frame_idx = int(video_time * self.frame_fps)
+        frame_idx = min(frame_idx, self.num_video_frames - 1)
+        if frame_idx > self.last_frame_idx:
+            rng = range(self.last_frame_idx + 1, frame_idx + 1)
+            chunk = self.video_tensor[rng.start:rng.stop]
+            embeds = self._embed_chunk(chunk)
+            for off, r in enumerate(rng):
+                self.frame_embeds_queue.append(
+                    (r / self.frame_fps, embeds[off]))
+            self.last_frame_idx = frame_idx
+        self.video_time = video_time
+
+    def _embed_chunk(self, chunk: np.ndarray) -> jax.Array:
+        """(T, ...) raw frames or features -> (T, fnt, hidden) device array."""
+        if chunk.dtype == np.uint8:
+            assert self.vision_params is not None, (
+                "raw pixel input needs vision_params (set_vision_inside "
+                "equivalent, modeling_live.py:12)")
+            return self._encode_frames(self.vision_params, self.params,
+                                       jnp.asarray(chunk))
+        feats = jnp.asarray(chunk)
+        if feats.ndim == 2:  # (T, vision_hidden) = live1 layout
+            feats = feats[:, None, :]
+        flat = self._project(self.params, feats)
+        return flat.reshape(-1, self.frame_num_tokens, self.hidden)
+
+    # ------------------------------------------------------------- main loop
+    def __call__(self) -> Tuple[Optional[str], Optional[str]]:
+        """One streaming step: ingest queued frames until the model decides
+        to respond or a query interleaves; then generate the response.
+        Returns (query, response) like demo/inference.py:117-124."""
+        if not self.frame_embeds_queue:
+            return None, None
+        video_time, query = self._stream_until_trigger()
+        if video_time is None:
+            return None, None
+        return self._respond_at(video_time, query)
+
+    # -- reference _call_for_streaming (demo/inference.py:54-82)
+    def _stream_until_trigger(self):
+        while self.frame_embeds_queue:
+            # 1. query strictly earlier than the next frame -> answer now
+            if self.query_queue and self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
+                return self.query_queue.popleft()
+            # burst = frames up to (and incl.) the next query time
+            qt = self.query_queue[0][0] if self.query_queue else None
+            burst_times, burst_embeds = [], []
+            for t, e in self.frame_embeds_queue:
+                if qt is not None and t > qt:
+                    break
+                burst_times.append(t)
+                burst_embeds.append(e)
+            if not burst_times:
+                return self.query_queue.popleft()
+
+            first_text, first_n = self._take_prepend()
+            frames = jnp.stack(burst_embeds)
+            self.cache, consumed, fire, next_id = self._ingest(
+                self.params, self.cache, first_text, first_n, frames,
+                jnp.asarray(len(burst_times), jnp.int32))
+            consumed = int(consumed)
+            fire = bool(fire)
+            next_id = int(next_id)
+            for _ in range(consumed):
+                self.frame_embeds_queue.popleft()
+            if consumed:
+                self.video_time_processed = burst_times[consumed - 1]
+            if fire:
+                # model decided to respond at this frame (gate fired); the
+                # predicted token is dropped, ']\nAssistant:' is fed instead
+                # (demo/inference.py:43-45)
+                self._pending_prepend = []
+                return burst_times[consumed - 1], None
+            # not fired: prepend for the next step is the predicted interval
+            if consumed:
+                self._pending_prepend = [next_id] if self.cfg.frame_token_interval_id is not None else []
+            # 2. a query at/earlier than the last processed frame time
+            if self.query_queue and consumed and burst_times[consumed - 1] >= self.query_queue[0][0]:
+                return self.query_queue.popleft()
+        return None, None
+
+    def _take_prepend(self) -> Tuple[jax.Array, jax.Array]:
+        """Pending text tokens for the next frame step, right-aligned in the
+        TEXT_BUCKET. First-ever step prefills the system prompt separately."""
+        if not self._started:
+            self._prefill_ids(self._start_ids)
+            self._started = True
+            self._pending_prepend = []
+        ids = self._pending_prepend[-TEXT_BUCKET:]
+        self._pending_prepend = []
+        buf = np.zeros((TEXT_BUCKET,), np.int32)
+        if ids:
+            buf[-len(ids):] = ids
+        return jnp.asarray(buf), jnp.asarray(len(ids), jnp.int32)
+
+    def _prefill_ids(self, ids: np.ndarray):
+        n = len(ids)
+        bucket = next((b for b in PROMPT_BUCKETS if b >= n), None)
+        if bucket is None:
+            # long prompt: feed exact-size (one extra compile) — rare
+            bucket = n
+        buf = np.zeros((1, bucket), np.int32)
+        buf[0, bucket - n:] = ids
+        self.cache = self._prefill(self.params, self.cache, jnp.asarray(buf),
+                                   jnp.asarray([n], jnp.int32))
+
+    # -- reference _call_for_response (demo/inference.py:40-52)
+    def _respond_at(self, video_time, query):
+        if query is not None:
+            # the pending predicted token is REPLACED by the query prompt
+            # (reference sets last_ids = query ids, inference.py:41-42)
+            self._pending_prepend = []
+            prompt = self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": query}], tokenize=True,
+                add_stream_query_prompt=True, add_generation_prompt=True)
+        else:
+            prompt = self.tokenizer.encode(self._gen_prompt_text)
+        self._started = True  # any cache write counts (ref checks emptiness)
+        n = len(prompt)
+        bucket = next((b for b in PROMPT_BUCKETS if b >= n), n)
+        buf = np.zeros((1, bucket), np.int32)
+        buf[0, bucket - n:] = prompt
+        out_ids, length, self.cache = self._respond(
+            self.params, self.cache, jnp.asarray(buf),
+            jnp.asarray([n], jnp.int32))
+        out = np.asarray(out_ids)[0, :int(length[0])]
+        # last token (EOS) is fed with the next frame (inference.py:64-66)
+        if out.size and out[-1] == self.cfg.eos_token_id:
+            self._pending_prepend = [int(out[-1])] + list(self._stream_prompt_ids)
+        elif out.size:
+            self._pending_prepend = [int(out[-1])]
+        response = self.tokenizer.decode(out, skip_special_tokens=True)
+        q_str = f"(Video Time = {video_time}s) User: {query}" if query else None
+        return q_str, f"(Video Time = {video_time}s) Assistant:{response}"

@@ -1,0 +1,52 @@
+"""Orbax checkpointing for {LoRA, connector} adapters and full params.
+
+The reference persists only PEFT adapter checkpoints via trainer.save_model
+(train.py:25) and re-applies them onto a hub-fetched base
+(models/modeling_live.py:215-216). Here: Orbax for adapters/full trees; the
+base Llama weights are converted once from HF safetensors
+(models/convert.py) and referenced by path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_params(path: str, params: Dict[str, Any]) -> None:
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, like: Optional[Dict[str, Any]] = None
+                   ) -> Dict[str, Any]:
+    ckptr = _checkpointer()
+    if like is not None:
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
+        return ckptr.restore(os.path.abspath(path), target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def save_adapter(path: str, params: Dict[str, Any]) -> None:
+    """Persist just the trainable subtree (lora + connector), the PEFT-
+    checkpoint equivalent."""
+    adapter = {k: params[k] for k in ("lora", "connector") if k in params}
+    save_params(path, adapter)
+
+
+def load_adapter_into(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    adapter_like = {k: params[k] for k in ("lora", "connector") if k in params}
+    adapter = restore_params(path, like=adapter_like)
+    out = dict(params)
+    out.update(adapter)
+    return out
