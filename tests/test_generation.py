@@ -1,0 +1,120 @@
+"""Generation evaluators vs HF transformers on identical tiny weights:
+greedy-from-embeds matches HF greedy generate; beam search matches HF
+num_beams=5 beam search (sequences and order)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videollm_online_tpu.core.config import tiny_live_config
+from videollm_online_tpu.eval.generation import BeamSearcher, beam_generate, greedy_from_embeds
+from videollm_online_tpu.models import live
+from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=cfg.llama.vocab_size,
+        hidden_size=cfg.llama.hidden_size,
+        intermediate_size=cfg.llama.intermediate_size,
+        num_hidden_layers=cfg.llama.num_layers,
+        num_attention_heads=cfg.llama.num_heads,
+        num_key_value_heads=cfg.llama.num_kv_heads,
+        head_dim=cfg.llama.head_dim,
+        rope_theta=cfg.llama.rope_theta,
+        rms_norm_eps=cfg.llama.rms_norm_eps,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        bos_token_id=None, eos_token_id=cfg.eos_token_id,
+        pad_token_id=cfg.eos_token_id,
+    )
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    sd = {}
+    p = params["llama"]
+    sd["model.embed_tokens.weight"] = torch.tensor(np.asarray(p["embed"]))
+    name_map = {
+        "wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+        "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+        "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+        "w_down": "mlp.down_proj",
+    }
+    for i in range(cfg.llama.num_layers):
+        for ours, theirs in name_map.items():
+            sd[f"model.layers.{i}.{theirs}.weight"] = torch.tensor(
+                np.asarray(p["layers"][ours][i]).T)
+        sd[f"model.layers.{i}.input_layernorm.weight"] = torch.tensor(
+            np.asarray(p["layers"]["attn_norm"][i]))
+        sd[f"model.layers.{i}.post_attention_layernorm.weight"] = torch.tensor(
+            np.asarray(p["layers"]["mlp_norm"][i]))
+    sd["model.norm.weight"] = torch.tensor(np.asarray(p["final_norm"]))
+    sd["lm_head.weight"] = torch.tensor(np.asarray(p["lm_head"]).T)
+    hf.load_state_dict(sd, strict=True)
+    return cfg, tok, params, hf
+
+
+def test_greedy_matches_hf(setup):
+    cfg, tok, params, hf = setup
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, cfg.llama.vocab_size, (1, 11))
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor(prompt), max_new_tokens=16,
+                          do_sample=False, num_beams=1)
+    ref_new = ref[0, prompt.shape[1]:].numpy()
+    got = greedy_from_embeds(params, cfg, prompt, None, max_new_tokens=16)
+    n = min(len(ref_new), got.shape[1])
+    np.testing.assert_array_equal(got[0, :n], ref_new[:n])
+
+
+def test_greedy_with_frames_runs(setup):
+    cfg, tok, params, _ = setup
+    v = cfg.v_placeholder_id
+    prompt = np.array([[72, 105, v, v, 33]])
+    frames = np.random.RandomState(1).randn(
+        2, cfg.vision_hidden_size).astype(np.float32)
+    out = greedy_from_embeds(params, cfg, prompt,
+                             frames.reshape(2, 1, -1)[:, 0], max_new_tokens=8)
+    assert out.shape[0] == 1 and 1 <= out.shape[1] <= 8
+
+
+@pytest.mark.parametrize("seed,max_new", [(0, 12), (3, 20)])
+def test_beam_search_matches_hf(setup, seed, max_new):
+    cfg, tok, params, hf = setup
+    rng = np.random.RandomState(seed)
+    prompt = rng.randint(0, cfg.llama.vocab_size, (1, 9))
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor(prompt), max_new_tokens=max_new,
+                          do_sample=False, num_beams=5,
+                          num_return_sequences=5, length_penalty=1.0,
+                          early_stopping=False)
+    ref_rows = [r[prompt.shape[1]:].numpy() for r in ref]
+
+    searcher = BeamSearcher(params, cfg, num_beams=5)
+    got = searcher.search(prompt, None, max_new_tokens=max_new,
+                          num_return_sequences=5)
+    for ref_row, got_row in zip(ref_rows, got):
+        # HF pads returned rows with pad_token (=eos) after the hyp ends
+        ref_trim = ref_row
+        if cfg.eos_token_id in ref_row.tolist():
+            stop = ref_row.tolist().index(cfg.eos_token_id) + 1
+            ref_trim = ref_row[:stop]
+        np.testing.assert_array_equal(np.asarray(got_row), ref_trim)
+
+
+def test_beam_generate_padding(setup):
+    cfg, tok, params, _ = setup
+    prompt = np.random.RandomState(2).randint(0, cfg.llama.vocab_size, (1, 7))
+    out = beam_generate(params, cfg, prompt, None, num_beams=3,
+                        max_new_tokens=6, num_return_sequences=3)
+    assert out.shape[0] == 3
+    assert (out == -100).sum() >= 0

@@ -1,0 +1,168 @@
+"""Offline-benchmark generation: greedy-from-embeds and beam search.
+
+Covers the reference's two generate evaluators
+(engine/trainer_with_gen2eval.py:5-21):
+  * ``generate_after_embed`` — greedy decode from the jointly-embedded
+    prompt (COIN; modeling_live_llama.py:69-70, do_sample=False),
+  * ``generate`` — beam search (LTA; 5 beams, 512 new tokens,
+    num_return_sequences=5, data/ego4d/lta.py:13).
+
+Beam search follows HF semantics (length_penalty=1.0, early_stopping=False):
+scores are summed log-probs; finished hypotheses freeze when EOS tops a
+beam; search stops when the worst kept hypothesis can no longer be beaten.
+The per-step forward is jitted over the (num_beams,) batch with a shared
+static KV ring; beam reordering is a gather on the batch axis."""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LiveConfig
+from ..models import generate as gen_mod
+from ..models import live, llama
+
+
+def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
+                       frames: Optional[np.ndarray], *,
+                       max_new_tokens: int = 512,
+                       capacity: Optional[int] = None) -> np.ndarray:
+    """generate_after_embed equivalent: returns generated ids (1, L)."""
+    T = input_ids.shape[1]
+    capacity = capacity or (T + max_new_tokens + 8)
+    cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
+                                dtype=jnp.dtype(cfg.llama.dtype))
+    embeds = live.joint_embed(
+        params, cfg, jnp.asarray(input_ids),
+        jnp.asarray(frames) if frames is not None and np.size(frames) else None)
+    out, length, _ = gen_mod.greedy_generate(
+        params, cfg, cache, embeds,
+        jnp.full((1,), T, jnp.int32), max_new_tokens=max_new_tokens)
+    return np.asarray(out)[:, :int(length[0])]
+
+
+class BeamSearcher:
+    def __init__(self, params, cfg: LiveConfig, num_beams: int = 5):
+        self.params = params
+        self.cfg = cfg
+        self.K = num_beams
+        lora = params.get("lora")
+        scaling = (cfg.lora.scaling if (cfg.lora is not None and lora is not None)
+                   else 1.0)
+
+        def prefill(params, embeds, num_valid, cache):
+            logits, cache = llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                kv_cache=cache, num_valid=num_valid,
+                lora=params.get("lora"), lora_scaling=scaling,
+                logit_gather_positions=num_valid - 1)
+            return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32)), cache
+
+        def step(params, tokens, cache, parents):
+            # reorder the ring along the beam axis, then append one token
+            cache = llama.KVCache(k=cache.k[:, parents], v=cache.v[:, parents],
+                                  offset=cache.offset[parents])
+            embeds = llama.embed_tokens(params["llama"], tokens[:, None],
+                                        cfg.llama)
+            logits, cache = llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                kv_cache=cache, lora=params.get("lora"),
+                lora_scaling=scaling)
+            return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32)), cache
+
+        self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        self._step = jax.jit(step, donate_argnums=(2,))
+
+    def search(self, input_ids: np.ndarray, frames: Optional[np.ndarray], *,
+               max_new_tokens: int = 512, num_return_sequences: int = None,
+               length_penalty: float = 1.0) -> List[np.ndarray]:
+        """input_ids: (1, T) prompt. Returns ``num_return_sequences``
+        generated-id arrays (EOS included when produced), best first."""
+        cfg, K = self.cfg, self.K
+        n_ret = num_return_sequences or K
+        eos = cfg.eos_token_id
+        T = input_ids.shape[1]
+        capacity = T + max_new_tokens + 8
+
+        cache = llama.init_kv_cache(cfg.llama, batch=K, capacity=capacity,
+                                    dtype=jnp.dtype(cfg.llama.dtype))
+        embeds = live.joint_embed(
+            params=self.params, cfg=cfg, input_ids=jnp.asarray(input_ids),
+            frames=jnp.asarray(frames) if frames is not None and np.size(frames)
+            else None)
+        embeds = jnp.broadcast_to(embeds, (K,) + embeds.shape[1:])
+        logp, cache = self._prefill(self.params, embeds,
+                                    jnp.full((K,), T, jnp.int32), cache)
+        logp = np.asarray(logp)  # (K, V) — identical rows after prefill
+
+        beam_scores = np.full((K,), -1e9, np.float64)
+        beam_scores[0] = 0.0
+        beam_tokens: List[List[int]] = [[] for _ in range(K)]
+        finished: List[Tuple[float, List[int]]] = []
+        cur_logp = logp
+
+        for step_i in range(max_new_tokens):
+            total = beam_scores[:, None] + cur_logp.astype(np.float64)  # (K, V)
+            flat = total.reshape(-1)
+            top = np.argpartition(-flat, 2 * K)[: 2 * K]
+            top = top[np.argsort(-flat[top])]
+            next_parents, next_tokens, next_scores = [], [], []
+            for rank, cand in enumerate(top):
+                parent, tok = divmod(int(cand), total.shape[1])
+                score = float(flat[cand])
+                if tok == eos:
+                    # HF: EOS candidates beyond rank K are dropped
+                    if rank < K:
+                        denom = max(step_i, 1) ** length_penalty
+                        finished.append((score / denom,
+                                         beam_tokens[parent] + [tok]))
+                else:
+                    next_parents.append(parent)
+                    next_tokens.append(tok)
+                    next_scores.append(score)
+                if len(next_parents) == K:
+                    break
+            # HF stopping: is_done when the best possible remaining score
+            # can't beat the worst kept finished hypothesis
+            if len(finished) >= K:
+                best_possible = float(total.max()) / (
+                    (step_i + 1) ** length_penalty)
+                worst_kept = sorted(finished, key=lambda x: -x[0])[K - 1][0]
+                if worst_kept >= best_possible:
+                    break
+            beam_tokens = [beam_tokens[p] + [t]
+                           for p, t in zip(next_parents, next_tokens)]
+            beam_scores = np.asarray(next_scores, np.float64)
+            cur_logp, cache = self._step(
+                self.params, jnp.asarray(next_tokens, jnp.int32), cache,
+                jnp.asarray(next_parents, jnp.int32))
+            cur_logp = np.asarray(cur_logp)
+
+        # finalize open beams (budget exhausted)
+        for score, toks in zip(beam_scores, beam_tokens):
+            finished.append((score / (max(len(toks), 1) ** length_penalty),
+                             list(toks)))
+        finished.sort(key=lambda x: -x[0])
+        return [np.asarray(toks, np.int64)
+                for _, toks in finished[:n_ret]]
+
+
+def beam_generate(params, cfg: LiveConfig, input_ids, frames, *,
+                  num_beams: int = 5, max_new_tokens: int = 512,
+                  num_return_sequences: int = None, **kwargs) -> np.ndarray:
+    """'generate' evaluator: (num_return_sequences, L) padded with -100 to a
+    common length (the trainer gathers fixed-width rows)."""
+    searcher = BeamSearcher(params, cfg, num_beams)
+    seqs = searcher.search(np.asarray(input_ids), frames,
+                           max_new_tokens=max_new_tokens,
+                           num_return_sequences=num_return_sequences)
+    L = max((len(s) for s in seqs), default=1)
+    out = np.full((len(seqs), max(L, 1)), -100, np.int64)
+    for i, s in enumerate(seqs):
+        out[i, :len(s)] = s
+    return out

@@ -1,0 +1,216 @@
+"""Streaming evaluation: LM-PPL, frame_diff, fluency, LM-correctness.
+
+Behavioral equivalent of the reference's ``LiveMixin.stream_evaluate``
+(models/modeling_live.py:44-168), restructured for XLA: ONE jitted
+full-sequence forward produces four per-token device vectors (NLL at the
+label, argmax id, argmax-excluding-interval id, P(interval)); the turn scan
+runs on host over those small vectors (the reference's GPU indexing loop has
+the same data flow). The rollforward branch (model never fired inside the
+turn, modeling_live.py:116-148) appends future frames with placeholder ids
+onto a COPY of the KV ring trimmed (offset-rewound) to the turn boundary —
+the static-shape equivalent of trim_past_key_values."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LiveConfig
+from ..models import live, llama
+
+IGNORE = -100
+
+
+def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
+                     interval_id: int, kv_cache):
+    """Jit body: full forward + the four per-token vectors."""
+    logits, _, cache = live.forward(params, cfg, input_ids=input_ids,
+                                    frames=frames, kv_cache=kv_cache)
+    lg = logits[0].astype(jnp.float32)                      # (T, V)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    lab = jnp.clip(labels[0], 0, lg.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
+    argmax = jnp.argmax(lg, axis=-1)
+    masked = lg.at[:, interval_id].set(-jnp.inf)
+    argmax_excl = jnp.argmax(masked, axis=-1)
+    p_interval = jnp.exp(logp[:, interval_id])
+    return nll, argmax, argmax_excl, p_interval, cache
+
+
+def _rollforward_stats(params, cfg: LiveConfig, cache, append_ids,
+                       append_frames, interval_id: int):
+    """Jit body for the rollforward forward (modeling_live.py:128-141)."""
+    logits, _, _ = live.forward(params, cfg, input_ids=append_ids,
+                                frames=append_frames, kv_cache=cache)
+    lg = logits[0].astype(jnp.float32)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    argmax = jnp.argmax(lg, axis=-1)
+    argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf), axis=-1)
+    p_interval = jnp.exp(logp[:, interval_id])
+    return argmax, argmax_excl, p_interval
+
+
+class StreamEvaluator:
+    """Caches jitted closures across samples (shapes bucket by padding)."""
+
+    def __init__(self, params, cfg: LiveConfig, attn_impl=None):
+        self.params = params
+        self.cfg = cfg
+        use_interval = cfg.frame_token_interval_id is not None
+        self.interval_id = (cfg.frame_token_interval_id if use_interval
+                            else cfg.eos_token_id)
+        self.use_interval = use_interval
+        self._stats = jax.jit(
+            lambda params, ids, labels, frames, kv_cache: _per_token_stats(
+                params, cfg, ids, labels, frames, self.interval_id, kv_cache))
+        self._roll = jax.jit(
+            lambda params, cache, ids, frames: _rollforward_stats(
+                params, cfg, cache, ids, frames, self.interval_id))
+
+    def _gate_fire_index(self, argmax, argmax_excl, p_int, threshold):
+        """First index whose gate prediction is not the interval token.
+        Reference zeroes P(interval) below the threshold then argmaxes
+        (modeling_live.py:107-113)."""
+        if threshold > 0:
+            pred = np.where(p_int < threshold, argmax_excl, argmax)
+        else:
+            pred = argmax
+        fire = pred != self.interval_id
+        idx = np.nonzero(fire)[0]
+        return int(idx[0]) if idx.size else None
+
+    def __call__(self, input_ids: np.ndarray, labels: np.ndarray,
+                 frames: Optional[np.ndarray],
+                 frame_token_interval_threshold: float = 0.0) -> np.ndarray:
+        """input_ids/labels: (1, T); frames: flattened frame features.
+        Returns [lm_ppl, frame_diff, fluency, lm_correctness]."""
+        cfg = self.cfg
+        assert input_ids.shape[0] == 1
+        input_id = np.asarray(input_ids[0])
+        label = np.asarray(labels[0])
+        T = len(input_id)
+        fnt = cfg.frame_num_tokens
+
+        # capacity with rollforward headroom (bounded by one extra turn)
+        per_frame_append = fnt + (1 if self.use_interval else 0)
+        capacity = T + cfg.max_num_frames * 0 + 4096
+        cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
+                                    dtype=jnp.dtype(cfg.llama.dtype))
+        jframes = jnp.asarray(frames) if frames is not None and np.size(frames) else None
+        nll, argmax, argmax_excl, p_int, cache = self._stats(
+            self.params, jnp.asarray(input_ids), jnp.asarray(labels),
+            jframes, cache)
+        nll = np.asarray(nll)
+        argmax = np.asarray(argmax)
+        argmax_excl = np.asarray(argmax_excl)
+        p_int = np.asarray(p_int)
+
+        # turn boundaries: eos positions (modeling_live.py:60-62)
+        stops = (np.nonzero(input_id == cfg.eos_token_id)[0] + 1).tolist()
+        starts = [0] + stops[:-1]
+        num_turns = len(starts)
+
+        v_mask_all = input_id == cfg.v_placeholder_id
+        learn_mask_all = label != IGNORE
+
+        lm_ppls, frame_diffs, fluencies, lm_corrects = [], [], [], []
+        past_num_frames = 0
+        for r, (ts, te) in enumerate(zip(starts, stops)):
+            turn_lab = label[ts:te]
+            turn_learn = learn_mask_all[ts:te]
+            if not turn_learn.any():
+                continue
+            turn_v = v_mask_all[ts:te]
+            turn_num_frames = int(turn_v.sum()) // fnt
+            turn_stream = turn_v & turn_learn
+            turn_lm = turn_learn & ~turn_stream
+
+            num_lm_correct = 0
+            lm_count = 0
+            if turn_lm.any():
+                idxs = np.nonzero(turn_lm)[0] + ts
+                lm_ppls.append(float(np.exp(nll[idxs].mean())))
+                wrong = argmax[idxs] != label[idxs]
+                if wrong.any():
+                    num_lm_correct = int(np.nonzero(wrong)[0][0])
+                else:
+                    num_lm_correct = int(len(idxs))
+                lm_count = len(idxs)
+                lm_corrects.append(num_lm_correct / lm_count)
+
+            frame_diff = None
+            if turn_stream.any():
+                sidx = np.nonzero(turn_stream)[0] + ts
+                fire = self._gate_fire_index(
+                    argmax[sidx], argmax_excl[sidx], p_int[sidx],
+                    frame_token_interval_threshold)
+                if fire is not None:
+                    frame_diff = int(turn_stream.sum()) - fire - 1
+                else:
+                    # rollforward: assume the 'Assistant: ...' never happened
+                    # and keep feeding future frames (modeling_live.py:116-148)
+                    last_stream_idx = int(sidx[-1])
+                    if r == num_turns - 1:
+                        frame_diff = 0
+                    else:
+                        nts, nte = starts[r + 1], stops[r + 1]
+                        next_frames = int(
+                            v_mask_all[nts:nte].sum()) // fnt
+                        to_append = min(next_frames, turn_num_frames - 1)
+                        if to_append <= 0:
+                            frame_diff = 0
+                        else:
+                            frame_diff = self._rollforward(
+                                cache, last_stream_idx + 1, frames,
+                                past_num_frames + turn_num_frames, to_append,
+                                frame_token_interval_threshold)
+                frame_diffs.append(abs(frame_diff))
+
+            if turn_lm.any() and turn_stream.any():
+                n_v = int(turn_stream.sum())
+                n_valid = lm_count + n_v
+                if frame_diff == 0:
+                    fluency = (n_v + num_lm_correct) / n_valid
+                elif frame_diff > 0:
+                    fluency = (n_v - frame_diff) / n_valid
+                else:
+                    fluency = (n_v - 1) / n_valid
+                fluencies.append(fluency)
+            past_num_frames += turn_num_frames
+
+        return np.array([
+            np.mean(lm_ppls) if lm_ppls else 1.0,
+            np.mean(frame_diffs) if frame_diffs else 0.0,
+            np.mean(fluencies) if fluencies else 1.0,
+            np.mean(lm_corrects) if lm_corrects else 1.0,
+        ], np.float32)
+
+    def _rollforward(self, cache, trim_to: int, frames, start_frame: int,
+                     to_append: int, threshold: float) -> int:
+        """Append future frames after rewinding the ring to ``trim_to``.
+        Negative return = model fires late (modeling_live.py:128-148)."""
+        cfg = self.cfg
+        fnt = cfg.frame_num_tokens
+        unit = ([self.interval_id] if self.use_interval else []) + \
+            [cfg.v_placeholder_id] * fnt
+        append_ids = np.tile(unit, to_append)[None]
+        append_frames = np.asarray(frames)[start_frame:start_frame + to_append]
+        # copy so later turns still see the original ring contents
+        roll_cache = llama.KVCache(k=jnp.copy(cache.k), v=jnp.copy(cache.v),
+                                   offset=jnp.full_like(cache.offset, trim_to))
+        argmax, argmax_excl, p_int = self._roll(
+            self.params, roll_cache, jnp.asarray(append_ids),
+            jnp.asarray(append_frames))
+        # gate only at the last token of each frame unit
+        idxs = np.arange(len(unit) - 1, append_ids.shape[1], len(unit))
+        fire = self._gate_fire_index(
+            np.asarray(argmax)[idxs], np.asarray(argmax_excl)[idxs],
+            np.asarray(p_int)[idxs], threshold)
+        if fire is not None:
+            return -(fire + 1)
+        return -to_append

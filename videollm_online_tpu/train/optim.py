@@ -35,7 +35,8 @@ def make_schedule(cfg: OptimConfig):
              optax.constant_schedule(cfg.learning_rate)], [warmup])
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.learning_rate,
-        warmup_steps=warmup, decay_steps=cfg.total_steps, end_value=0.0)
+        warmup_steps=warmup, decay_steps=max(cfg.total_steps, warmup + 1),
+        end_value=0.0)
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:

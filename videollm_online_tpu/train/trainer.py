@@ -1,0 +1,215 @@
+"""LiveTrainer: the training/evaluation driver.
+
+Replaces HF Trainer + TrainerWithGenToEval + DeepSpeed (reference train.py,
+engine/trainer_with_gen2eval.py, configs/deepspeed/*): a pjit train step over
+a (data, model) mesh, host-side grad-accum batching, cosine LR, Orbax
+checkpointing, TensorBoard-compatible metric logging, and an eval loop that
+dispatches each dataset's evaluator (stream_evaluate / generate /
+generate_after_embed) and feeds gathered predictions to the dataset's
+``compute_metrics`` (trainer_with_gen2eval.py:5-21)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.arguments import LiveTrainingArguments
+from ..core.config import LiveConfig
+from ..data.loader import DataLoader
+from ..eval.generation import beam_generate, greedy_from_embeds
+from ..eval.stream_evaluate import StreamEvaluator
+from ..parallel.mesh import make_mesh
+from ..utils.logging import MetricLogger
+from . import checkpoints, optim, step as step_mod
+
+
+class LiveTrainer:
+    def __init__(self, *, params: Dict[str, Any], cfg: LiveConfig,
+                 tokenizer, args: LiveTrainingArguments,
+                 train_dataset=None, eval_dataset_dict=None,
+                 compute_metrics_dict=None, collate_fn=None, mesh=None,
+                 attn_impl=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.args = args
+        self.train_dataset = train_dataset
+        self.eval_dataset_dict = eval_dataset_dict or {}
+        self.compute_metrics_dict = compute_metrics_dict or {}
+        self.collate_fn = collate_fn
+        self.attn_impl = attn_impl
+        self.mesh = mesh
+        if self.mesh is None and args.mesh_model_axis > 1:
+            self.mesh = make_mesh(data=-1, model=args.mesh_model_axis)
+        self.logger = MetricLogger(args.output_dir)
+
+        # steps bookkeeping
+        if train_dataset is not None:
+            steps_per_epoch = max(
+                len(train_dataset) // (args.per_device_train_batch_size
+                                       * args.gradient_accumulation_steps), 1)
+            self.total_steps = (args.max_steps or
+                                int(steps_per_epoch * args.num_train_epochs))
+        else:
+            self.total_steps = max(args.max_steps, 1)
+
+        self.tx = optim.make_optimizer(optim.OptimConfig(
+            learning_rate=args.learning_rate,
+            warmup_ratio=args.warmup_ratio,
+            total_steps=self.total_steps))
+        if self.mesh is not None:
+            params = step_mod.shard_params(params, self.mesh,
+                                           args.sharding_policy)
+        self.state, self.frozen = step_mod.init_train_state(params, self.tx)
+        self._step = step_mod.make_jitted_train_step(
+            cfg, self.tx, accum_steps=args.gradient_accumulation_steps,
+            attn_impl=attn_impl)
+
+    # ------------------------------------------------------------- training
+    def _microbatch_stack(self, batches: List[dict]) -> dict:
+        """Stack accum_steps collated microbatches along a leading axis,
+        padding token dims to the max across the group."""
+        accum = len(batches)
+        T = max(b["input_ids"].shape[1] for b in batches)
+        F = max((b["frames"].shape[0] if b["frames"] is not None else 0)
+                for b in batches)
+        B = batches[0]["input_ids"].shape[0]
+        pad_id = self.tokenizer.pad_token_id
+        ids = np.full((accum, B, T), pad_id, np.int32)
+        labels = np.full((accum, B, T), -100, np.int32)
+        fdim = None
+        for b in batches:
+            if b["frames"] is not None:
+                fdim = b["frames"].shape[1:]
+                break
+        frames = (np.zeros((accum, max(F, 1)) + fdim, np.float32)
+                  if fdim else None)
+        for a, b in enumerate(batches):
+            t = b["input_ids"].shape[1]
+            # left-padded sequences stay right-aligned
+            ids[a, :, T - t:] = b["input_ids"]
+            labels[a, :, T - t:] = b["labels"]
+            if frames is not None and b["frames"] is not None:
+                frames[a, :b["frames"].shape[0]] = b["frames"]
+        out = {"input_ids": ids, "labels": labels}
+        if frames is not None:
+            out["frames"] = frames
+        return out
+
+    def train(self):
+        args = self.args
+        loader = DataLoader(
+            self.train_dataset,
+            batch_size=args.per_device_train_batch_size,
+            collate_fn=self.collate_fn, shuffle=True, seed=args.seed,
+            num_workers=min(args.dataloader_num_workers, 1))
+        accum = args.gradient_accumulation_steps
+        micro: List[dict] = []
+        t0 = time.time()
+        done = False
+        while not done:
+            for batch in loader:
+                micro.append(batch)
+                if len(micro) < accum:
+                    continue
+                stacked = self._microbatch_stack(micro)
+                micro = []
+                jbatch = {k: jnp.asarray(v) for k, v in stacked.items()
+                          if v is not None}
+                if accum == 1:
+                    jbatch = {k: v[0] for k, v in jbatch.items()}
+                self.state, metrics = self._step(self.state, self.frozen,
+                                                 jbatch)
+                step = int(metrics["step"]) + 1
+                if step % args.logging_steps == 0:
+                    self.logger.log(step, {
+                        "loss": float(metrics["loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "steps_per_sec": args.logging_steps / max(
+                            time.time() - t0, 1e-9),
+                    })
+                    t0 = time.time()
+                if (args.save_strategy == "steps" and args.save_steps
+                        and step % args.save_steps == 0):
+                    self.save_model(os.path.join(args.output_dir,
+                                                 f"checkpoint-{step}"))
+                if step >= self.total_steps:
+                    done = True
+                    break
+            if args.save_strategy == "epoch" and not done:
+                self.save_model(os.path.join(
+                    args.output_dir, f"checkpoint-epoch{loader.epoch}"))
+        return self.state
+
+    def save_model(self, path: Optional[str] = None):
+        path = path or self.args.output_dir
+        checkpoints.save_adapter(os.path.join(path, "adapter"),
+                                 {**self.frozen, **self.state.trainable})
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        return optim.merge_params(self.state.trainable, self.frozen)
+
+    # ------------------------------------------------------------ evaluation
+    def evaluate(self, dataset_name: Optional[str] = None) -> Dict[str, dict]:
+        """Run each eval dataset through its evaluator and compute metrics
+        (reference trainer_with_gen2eval.py + train.py:27-36)."""
+        results = {}
+        names = ([dataset_name] if dataset_name
+                 else list(self.eval_dataset_dict))
+        params = self.params
+        for name in names:
+            ds = self.eval_dataset_dict[name]
+            predictions, sample_idxs = [], []
+            stream_eval = None
+            for i in range(len(ds)):
+                text, frames, learn_ranges, idx, ekw = ds[i]
+                from ..data.collator import collate
+                batch = collate([(text, frames, learn_ranges, idx, ekw)],
+                                tokenizer=self.tokenizer)
+                evaluator = (ekw or {}).get("evaluator", "stream_evaluate")
+                if evaluator == "stream_evaluate":
+                    if stream_eval is None:
+                        stream_eval = StreamEvaluator(params, self.cfg,
+                                                      attn_impl=self.attn_impl)
+                    pred = stream_eval(
+                        batch["input_ids"], batch["labels"], batch["frames"],
+                        self.args.frame_token_interval_threshold)
+                elif evaluator == "generate":
+                    pred = beam_generate(
+                        params, self.cfg, batch["input_ids"], batch["frames"],
+                        num_beams=ekw.get("num_beams", 1),
+                        max_new_tokens=ekw.get("max_new_tokens", 512),
+                        num_return_sequences=ekw.get("num_return_sequences"),
+                    ).reshape(-1)
+                elif evaluator == "generate_after_embed":
+                    pred = greedy_from_embeds(
+                        params, self.cfg, batch["input_ids"], batch["frames"],
+                        max_new_tokens=ekw.get("max_new_tokens", 512),
+                    ).reshape(-1)
+                else:
+                    raise ValueError(f"unknown evaluator {evaluator}")
+                predictions.append(np.asarray(pred))
+                sample_idxs.append(idx)
+            # pad rows to a rectangle like the HF gather does
+            L = max((len(p) for p in predictions), default=1)
+            rect = np.full((len(predictions), L), -100.0
+                           if predictions and predictions[0].dtype.kind == "f"
+                           else -100)
+            for i, p in enumerate(predictions):
+                rect[i, :len(p)] = p
+            fn = self.compute_metrics_dict.get(name)
+            if fn is None and hasattr(ds, "compute_metrics"):
+                fn = lambda preds, idxs: ds.compute_metrics(
+                    preds, idxs, tokenizer=self.tokenizer,
+                    output_dir=self.args.output_dir)
+            results[name] = fn(rect, np.asarray(sample_idxs)) if fn else {}
+            self.logger.log_dict(f"eval/{name}", results[name])
+        return results
