@@ -10,7 +10,8 @@ Baseline: the reference reports 10-15 FPS streaming on an A100 for the 8B
 model (README.md:13); vs_baseline uses the 12.5 midpoint.
 
 Env knobs:
-  BENCH_MODEL  = tiny | 1b | 3b | 8b   (default: 1b)
+  BENCH_MODEL  = tiny | 1b | 3b | 8b   (default: 8b; 8b implies int8 weights)
+  BENCH_QUANT  = 1 | int8              (weight-only int8 for other sizes)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192)
 """
@@ -44,7 +45,7 @@ def main():
     from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
     from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
 
-    size = os.environ.get("BENCH_MODEL", "1b")
+    size = os.environ.get("BENCH_MODEL", "8b")
     if size not in MODEL_SIZES:
         raise SystemExit(
             f"BENCH_MODEL={size!r} unknown; choose from {sorted(MODEL_SIZES)}")
@@ -57,11 +58,23 @@ def main():
     cfg = tok.cfg
 
     key = jax.random.PRNGKey(0)
-    params = live.init_params(key, cfg)
+    if os.environ.get("BENCH_QUANT", "") in ("1", "int8") or size == "8b":
+        # 8B bf16 exceeds one v5e chip; weight-only int8 is the single-chip
+        # serving configuration (models/quant.py) — built directly in int8
+        # so the bf16 staging copy never exists on device
+        from videollm_online_tpu.models import quant
+        params = {
+            "llama": quant.random_quantized_llama_params(key, cfg.llama),
+            "connector": live.init_connector(jax.random.fold_in(key, 1), cfg),
+        }
+    else:
+        params = live.init_params(key, cfg)
 
     # one frame step: interval token + frame_num_tokens <v> embeddings
     step_tokens = 1 + cfg.frame_num_tokens
     D = cfg.llama.hidden_size
+
+    from videollm_online_tpu.ops.auto import auto_attention
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def frame_step(params, cache, frame_embeds, interval_id):
@@ -70,7 +83,8 @@ def main():
         embeds = jnp.concatenate([tok_embed, frame_embeds[None]], axis=1)
         logits, cache = llama.forward(params["llama"], cfg=cfg.llama,
                                       inputs_embeds=embeds, kv_cache=cache,
-                                      last_logit_only=True)
+                                      last_logit_only=True,
+                                      attn_impl=auto_attention)
         # streaming gate (demo/inference.py:76-81) stays on device
         probs = jax.nn.softmax(logits[0, -1].astype(jnp.float32))
         fire = probs[cfg.frame_token_interval_id] < cfg.frame_token_interval_threshold

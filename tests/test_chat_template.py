@@ -108,17 +108,24 @@ def test_collator_v_targets_remap_to_eos():
     assert (batch["labels"] < tok.cfg.v_placeholder_id).all()
 
 
-def test_batch_left_padding():
+def test_batch_padding_sides():
     cfg = live1_plus_config()
     tok = LiveTokenizer(ByteTokenizer(), cfg)
     conv_short = [{"role": "system", "content": "a"},
                   {"role": "stream", "num_frames": 1, "learn": True}]
     conv_long = [{"role": "system", "content": "a much longer system prompt"},
                  {"role": "stream", "num_frames": 3, "learn": True}]
-    batch = collate([
+    samples = [
         (tok.apply_chat_template(conv_short), None, tok.get_learn_ranges(conv_short), 0, None),
         (tok.apply_chat_template(conv_long), None, tok.get_learn_ranges(conv_long), 1, None),
-    ], tokenizer=tok)
+    ]
+    # default: right padding (causal mask hides pads on the TPU fast path)
+    batch = collate(samples, tokenizer=tok)
     am = batch["attention_mask"]
-    assert am[0, 0] == 0 and am[0, -1] == 1  # left-padded
+    assert am[0, 0] == 1 and am[0, -1] == 0
     assert am[1].all()
+    # left padding still available for HF-style batched generation
+    enc = tok.batch_encode([samples[0][0], samples[1][0]],
+                           padding_side="left")
+    assert enc["attention_mask"][0, 0] == 0
+    assert enc["attention_mask"][0, -1] == 1

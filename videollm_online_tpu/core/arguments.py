@@ -44,7 +44,7 @@ class LiveTrainingArguments:
     embed_mark: str = "2fps_384_1+3x3"
     max_num_frames: int = 1200
     augmentation: bool = False
-    attn_implementation: str = "xla"   # 'xla' | 'pallas_flash'
+    attn_implementation: str = "auto"  # 'auto' | 'xla' | 'pallas_flash'
     output_dir: str = "outputs/debug"
 
     # training hyperparameters (reference scripts/*.sh)

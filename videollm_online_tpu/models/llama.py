@@ -106,9 +106,13 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf.astype(x.dtype)) * weight
 
 
-def dense(x: jax.Array, w: jax.Array, lora: Optional[Dict] = None,
+def dense(x: jax.Array, w, lora: Optional[Dict] = None,
           scaling: float = 1.0) -> jax.Array:
-    y = x @ w
+    if isinstance(w, dict):  # weight-only int8 (models/quant.py)
+        from .quant import quantized_matmul
+        y = quantized_matmul(x, w)
+    else:
+        y = x @ w
     if lora is not None:
         y = y + scaling * ((x @ lora["lora_a"].swapaxes(-1, -2))
                            @ lora["lora_b"].swapaxes(-1, -2))
@@ -320,11 +324,21 @@ def embed_tokens(params: Params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.
     """Token embedding; ids are clamped into the vocab so the out-of-vocab
     ``<v>`` placeholder id is safe (reference modeling_live.py:38)."""
     ids = jnp.clip(input_ids, 0, cfg.vocab_size - 1)
-    return params["embed"][ids]
+    embed = params["embed"]
+    if isinstance(embed, dict):  # int8 rows with per-row scales
+        dtype = jnp.dtype(cfg.dtype)
+        rows = embed["q8"][ids].astype(dtype)
+        return rows * embed["scale"][ids][..., None].astype(dtype)
+    return embed[ids]
 
 
 def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
             lora: Optional[Params] = None, lora_scaling: float = 1.0) -> jax.Array:
-    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    if cfg.tie_word_embeddings:
+        assert not isinstance(params["embed"], dict), (
+            "tied embeddings are not supported with int8 weights")
+        w = params["embed"].T
+    else:
+        w = params["lm_head"]
     head_lora = (lora or {}).get("lm_head")
     return dense(h, w, head_lora, lora_scaling)

@@ -1,0 +1,125 @@
+"""Pallas decode attention over the static KV ring (serving hot path).
+
+The streaming loop appends 1-16 tokens per step and attends a long ring
+(demo/inference.py one-forward-per-frame; our serve/engine.py burst loop).
+This kernel computes attention for a small query chunk against the (B, Hkv,
+C, d) ring with per-stream valid lengths, skipping invalid ring blocks:
+
+  * scalar-prefetched per-batch block counts drive the BlockSpec index maps —
+    out-of-range kv blocks map to the last valid block, so Pallas issues no
+    new HBM DMA for them (the paged-attention trick), and compute is
+    predicated off with ``pl.when``;
+  * GQA queries fold into rows: q reshaped to (B, Hkv, G*S, d) so each grid
+    step is one MXU matmul per kv block;
+  * fp32 online softmax, bf16 IO.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
+            acc_ref, m_ref, l_ref, *, block_k, rows):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(ki < nb_ref[b])
+    def _compute():
+        q = q_ref[0, 0]                              # (rows, d)
+        k = k_ref[0, 0]                              # (bk, d)
+        scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+        qpos = qpos_ref[0].astype(jnp.int32)[:, None]  # (rows, 1)
+        mask = (ki * block_k + cols) <= qpos
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
+                          interpret: bool = None):
+    """q: (B, Hq, S, d); k/v: (B, Hkv, C, d); q_pos: (B, S) absolute
+    positions (mask: ring slot j visible iff j <= q_pos). Returns (B, Hq, S, d).
+    """
+    B, Hq, S, d = q.shape
+    _, Hkv, C, _ = k.shape
+    G = Hq // Hkv
+    rows = G * S
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    # (B, Hkv, G*S, d): row r of group-head h is (head h*G + r//S, query r%S)
+    qg = q.reshape(B, Hkv, G, S, d).reshape(B, Hkv, rows, d)
+    qpos_rows = jnp.tile(q_pos, (1, G))  # (B, rows)
+
+    # per-batch number of kv blocks that contain any visible slot
+    max_pos = jnp.max(q_pos, axis=1)
+    nb = jnp.minimum(max_pos // block_k + 1,
+                     pl.cdiv(C, block_k)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, pl.cdiv(C, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, rows), lambda b, h, ki, nb: (b, 0)),
+            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, nb: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b, h, ki, nb: (b, h,
+                                               jnp.minimum(ki, nb[b] - 1), 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b, h, ki, nb: (b, h,
+                                               jnp.minimum(ki, nb[b] - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, d),
+                               lambda b, h, ki, nb: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, d), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_k=block_k, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
+        interpret=interpret,
+    )(nb, qpos_rows, qg, k, v)
+    return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
+
+
+def decode_attention_adapter(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+    """Drop-in for models.llama._attention on the serving path."""
+    return ring_decode_attention(q, k, v, q_pos)

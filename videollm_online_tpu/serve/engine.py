@@ -68,6 +68,9 @@ class LiveInferEngine:
         self.kv_capacity = kv_capacity
         self.frame_fps = frame_fps or self.cfg.frame_fps
         self.frame_num_tokens = self.cfg.frame_num_tokens
+        if attn_impl is None:
+            from ..ops.auto import auto_attention
+            attn_impl = auto_attention
         self.attn_impl = attn_impl
         self.hidden = self.cfg.llama.hidden_size
 

@@ -92,10 +92,16 @@ class LiveTokenizer:
         ids, _ = self.backend.encode_with_offsets(text)
         return ids
 
-    def batch_encode(self, texts: Sequence[str], pad_to_multiple: int = 1
-                     ) -> Dict[str, np.ndarray]:
-        """Left-padded batch (padding_side='left', tokenization_live.py:111)
-        with offset mappings for label-range resolution."""
+    def batch_encode(self, texts: Sequence[str], pad_to_multiple: int = 1,
+                     padding_side: str = "right") -> Dict[str, np.ndarray]:
+        """Padded batch with offset mappings for label-range resolution.
+
+        The reference tokenizes with padding_side='left'
+        (tokenization_live.py:111) and relies on the attention_mask to hide
+        pads. Here training batches pad RIGHT: with a causal mask, real
+        tokens then never attend pad slots and RoPE positions equal slot
+        indices — no separate attention mask needed on the TPU fast path.
+        'left' remains available for HF-style batched generation."""
         encs = [self.backend.encode_with_offsets(t) for t in texts]
         max_len = max(len(ids) for ids, _ in encs)
         if pad_to_multiple > 1:
@@ -104,15 +110,15 @@ class LiveTokenizer:
         input_ids = np.full((B, max_len), self.pad_token_id, np.int64)
         attention_mask = np.zeros((B, max_len), np.int64)
         offsets = np.zeros((B, max_len, 2), np.int64)
-        pads = []
         for i, (ids, offs) in enumerate(encs):
             n = len(ids)
-            input_ids[i, max_len - n:] = ids
-            attention_mask[i, max_len - n:] = 1
-            offsets[i, max_len - n:] = offs
-            pads.append(max_len - n)
+            sl = slice(max_len - n, max_len) if padding_side == "left" \
+                else slice(0, n)
+            input_ids[i, sl] = ids
+            attention_mask[i, sl] = 1
+            offsets[i, sl] = offs
         return {"input_ids": input_ids, "attention_mask": attention_mask,
-                "offset_mapping": offsets, "num_left_pad": np.asarray(pads)}
+                "offset_mapping": offsets}
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         ids = list(np.asarray(ids).reshape(-1))

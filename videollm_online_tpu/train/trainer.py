@@ -93,9 +93,9 @@ class LiveTrainer:
                   if fdim else None)
         for a, b in enumerate(batches):
             t = b["input_ids"].shape[1]
-            # left-padded sequences stay right-aligned
-            ids[a, :, T - t:] = b["input_ids"]
-            labels[a, :, T - t:] = b["labels"]
+            # right-padded sequences stay left-aligned
+            ids[a, :, :t] = b["input_ids"]
+            labels[a, :, :t] = b["labels"]
             if frames is not None and b["frames"] is not None:
                 frames[a, :b["frames"].shape[0]] = b["frames"]
         out = {"input_ids": ids, "labels": labels}

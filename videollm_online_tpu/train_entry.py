@@ -32,10 +32,8 @@ def train(argv=None):
                                                **data_kwargs)
     eval_dict = build_eval_dataset_dict(args.eval_datasets, **data_kwargs)
 
-    attn_impl = None
-    if args.attn_implementation == "pallas_flash":
-        from .ops.flash_attention import flash_attention_adapter
-        attn_impl = flash_attention_adapter
+    from .ops.auto import resolve_attn_impl
+    attn_impl = resolve_attn_impl(args.attn_implementation)
 
     trainer = LiveTrainer(
         params=params, cfg=cfg, tokenizer=tokenizer, args=args,
