@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Narration-only streaming training (reference scripts/ego4d/narration/live1.sh,
+# multi-node via SLURM env -> here: one launch per TPU-VM worker)
+python -m videollm_online_tpu.train_entry \
+    --live_version live1+ \
+    --train_datasets ego4d_refined_narration_stream_train \
+    --eval_datasets ego4d_narration_stream_val \
+    --num_train_epochs 2 \
+    --gradient_accumulation_steps 8 \
+    --gradient_checkpointing true \
+    --learning_rate 0.0002 --warmup_ratio 0.05 --logging_steps 10 \
+    --dataloader_num_workers 16 --bf16 true \
+    --output_dir outputs/ego4d_narration/live1+ \
+    "$@"

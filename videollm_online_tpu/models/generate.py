@@ -29,14 +29,6 @@ from .llama import KVCache
 Params = Dict[str, Any]
 
 
-def _last_valid_logits(logits: jax.Array, num_valid: jax.Array) -> jax.Array:
-    """(B, S, V), (B,) -> (B, V): logits at the last *valid* position of a
-    bucket-padded append."""
-    B = logits.shape[0]
-    idx = jnp.clip(num_valid - 1, 0, logits.shape[1] - 1)
-    return logits[jnp.arange(B), idx]
-
-
 def greedy_generate(
     params: Params,
     cfg: LiveConfig,

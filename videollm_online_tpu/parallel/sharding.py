@@ -27,6 +27,9 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 # param pytree (see models/llama.py for the tree layout). Layer-stacked
 # params carry a leading layer dim which is always replicated.
 _RULES = [
+    # LoRA overlays FIRST (their paths contain the base-weight names)
+    ("lora_a",      {"tp": P(),                         "fsdp_tp": P()}),
+    ("lora_b",      {"tp": P(),                         "fsdp_tp": P()}),
     # decoder
     ("embed",       {"tp": P(None, MODEL_AXIS),        "fsdp_tp": P(DATA_AXIS, MODEL_AXIS)}),
     ("wq",          {"tp": P(None, None, MODEL_AXIS),  "fsdp_tp": P(None, DATA_AXIS, MODEL_AXIS)}),
@@ -37,9 +40,6 @@ _RULES = [
     ("w_up",        {"tp": P(None, None, MODEL_AXIS),  "fsdp_tp": P(None, DATA_AXIS, MODEL_AXIS)}),
     ("w_down",      {"tp": P(None, MODEL_AXIS, None),  "fsdp_tp": P(None, MODEL_AXIS, DATA_AXIS)}),
     ("lm_head",     {"tp": P(None, MODEL_AXIS),        "fsdp_tp": P(DATA_AXIS, MODEL_AXIS)}),
-    # LoRA overlays: A is (r, in), B is (out_shard, r); shard the big dim
-    ("lora_a",      {"tp": P(),                         "fsdp_tp": P()}),
-    ("lora_b",      {"tp": P(),                         "fsdp_tp": P()}),
     # vision encoder (replicated over model axis in v0; its matmuls are small
     # relative to the decoder and it runs on the encode stage of the pipeline)
     ("vision",      {"tp": P(),                         "fsdp_tp": P()}),
@@ -52,6 +52,8 @@ def _spec_for_path(path: str, policy: str, ndim: int) -> P:
     for needle, by_policy in _RULES:
         if needle in path:
             spec = by_policy[policy]
+            if len(spec) == 0:  # replicated — valid for any rank
+                return spec
             # unstacked variant of a layer-stacked rule (e.g. a single layer's
             # weight, or per-layer norms)
             if len(spec) > ndim:

@@ -270,6 +270,16 @@ class LiveInferEngine:
             if not burst_times:
                 return self.query_queue.popleft()
 
+            # capacity guard: the reference grows its KV unbounded until GPU
+            # OOM (demo/inference.py); the static ring fails loudly instead.
+            worst = (int(self.cache.offset[0]) + len(burst_times)
+                     * (TEXT_BUCKET + self.frame_num_tokens)
+                     + self.cfg.max_response_tokens)
+            if worst > self.kv_capacity:
+                raise RuntimeError(
+                    f"KV ring capacity {self.kv_capacity} would be exceeded "
+                    f"(offset {int(self.cache.offset[0])}); raise "
+                    f"kv_capacity or reset() the stream")
             first_text, first_n = self._take_prepend()
             frames = jnp.stack(burst_embeds)
             self.cache, consumed, fire, next_id = self._ingest(
