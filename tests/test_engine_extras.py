@@ -1,0 +1,73 @@
+"""Engine extras: raw-pixel input path (set_vision_inside equivalent),
+runtime threshold adjustment without recompiles, capacity guard."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from videollm_online_tpu.core.config import tiny_live_config
+from videollm_online_tpu.models import live, siglip
+from videollm_online_tpu.serve.engine import LiveInferEngine
+from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+
+def _setup(threshold=0.725):
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(frame_token_interval_threshold=threshold,
+                          max_response_tokens=8)
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, tok, params
+
+
+def test_raw_pixel_video_path():
+    """uint8 frames -> on-the-fly SigLIP encode -> streaming (the reference's
+    set_vision_inside in-the-wild mode, modeling_live.py:12-16)."""
+    cfg, tok, params = _setup()
+    vparams = siglip.init_params(jax.random.PRNGKey(1), cfg.vision)
+    engine = LiveInferEngine(params, tok, cfg, vision_params=vparams,
+                             kv_capacity=512)
+    video = np.random.RandomState(0).randint(
+        0, 255, (4, 3, cfg.vision.image_size, cfg.vision.image_size),
+        np.uint8)
+    engine.load_video(video)
+    engine.input_video_stream(0.5)
+    q, r = engine()
+    assert r is not None and "Assistant:" in r
+
+
+def test_runtime_threshold_change_changes_behavior():
+    cfg, tok, params = _setup(threshold=0.9999)
+    feats = np.random.RandomState(0).randn(
+        4, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+
+    # threshold ~1.0: interval prob always below it -> fires every frame
+    e1 = LiveInferEngine(params, tok, cfg, kv_capacity=512)
+    e1.load_video(feats)
+    e1.input_video_stream(0.0)
+    _, r1 = e1()
+    assert r1 is not None
+
+    # drop threshold to 0 at runtime: gate fires only if argmax != interval
+    e2 = LiveInferEngine(params, tok, cfg, kv_capacity=512)
+    e2.set_threshold(0.0)
+    assert e2.cfg.frame_token_interval_threshold == 0.0
+    e2.load_video(feats)
+    e2.input_video_stream(0.0)
+    q2, r2 = e2()  # may or may not fire; must not recompile or crash
+    # same jitted program served both thresholds (traced arg, not constant)
+    assert e2._ingest is not None
+
+
+def test_capacity_guard_raises():
+    cfg, tok, params = _setup()
+    engine = LiveInferEngine(params, tok, cfg, kv_capacity=64)
+    feats = np.random.RandomState(0).randn(
+        8, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+    engine.load_video(feats)
+    engine.input_video_stream(3.5)
+    with pytest.raises(RuntimeError, match="capacity"):
+        for _ in range(16):
+            engine()

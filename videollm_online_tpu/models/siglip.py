@@ -180,17 +180,31 @@ def preprocess(frames_uint8: jax.Array, cfg: VisionConfig) -> jax.Array:
     return (x - mean) / std
 
 
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> jax.Array:
+    """(n_out, n_in) averaging matrix with torch adaptive_avg_pool1d bin
+    semantics: bin i covers [floor(i*n/o), ceil((i+1)*n/o))."""
+    import numpy as np
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        start = (i * n_in) // n_out
+        end = -(-(i + 1) * n_in // n_out)
+        m[i, start:end] = 1.0 / (end - start)
+    return jnp.asarray(m)
+
+
 def spatial_pool(last_hidden: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """adaptive_avg_pool2d of the patch grid (vision_live.py:16-23).
-    last_hidden: (B, S*S, D) -> (B, oh*ow, D). Requires S % oh == 0
-    (exact for 24x24 -> 3x3)."""
+    last_hidden: (B, S*S, D) -> (B, oh*ow, D). Exact torch bin semantics for
+    any grid/output combination (24x24 -> 3x3 is the live1+ case)."""
     B, P, D = last_hidden.shape
     s = int(math.isqrt(P))
     oh, ow = out_hw
-    assert s % oh == 0 and s % ow == 0, (s, out_hw)
-    bh, bw = s // oh, s // ow
-    x = last_hidden.reshape(B, oh, bh, ow, bw, D)
-    return x.mean(axis=(2, 4)).reshape(B, oh * ow, D)
+    x = last_hidden.reshape(B, s, s, D)
+    mh = _adaptive_pool_matrix(s, oh).astype(x.dtype)
+    mw = _adaptive_pool_matrix(s, ow).astype(x.dtype)
+    x = jnp.einsum("hs,bswd->bhwd", mh, x)
+    x = jnp.einsum("wt,bhtd->bhwd", mw, x)
+    return x.reshape(B, oh * ow, D)
 
 
 def frame_features(params: Params, pixels: jax.Array, cfg: VisionConfig,

@@ -119,16 +119,22 @@ def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k):
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=S, q_offset_static=q_offset)
 
+    def kv_index(b, h, qi, ki):
+        if causal:
+            # blocks above the causal diagonal are never attended: clamp the
+            # index so Pallas re-serves the previous block (no HBM DMA)
+            last_needed = (qi * block_q + block_q - 1 + q_offset) // block_k
+            ki = jnp.minimum(ki, last_needed)
+        return (b, h // groups, ki, 0)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d),
@@ -262,11 +268,22 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)  # (B, Hq, T, 1)
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b, h, ki, qi: (b, h, qi, 0))
+    nq = _blocks(T, block_q)
+
+    def q_index(b, h, ki, qi):
+        if causal:
+            # q blocks fully above the diagonal never see this kv block:
+            # clamp to the first contributing q block (skips the DMA)
+            first_needed = jnp.maximum(
+                (ki * block_k - q_offset) // block_q, 0)
+            qi = jnp.maximum(qi, jnp.minimum(first_needed, nq - 1))
+        return (b, h, qi, 0)
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
     kv_spec_g = pl.BlockSpec((1, 1, block_k, d),
                              lambda b, h, ki, qi: (b, h // groups, ki, 0))
     row_spec = pl.BlockSpec((1, 1, block_q, 1),
-                            lambda b, h, ki, qi: (b, h, qi, 0))
+                            lambda b, h, ki, qi: q_index(b, h, ki, qi))
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, scale=scale, causal=causal,
@@ -293,6 +310,12 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
     dk = dk.reshape(B, Hkv, groups, S, d).sum(axis=2).astype(k.dtype)
     dv = dv.reshape(B, Hkv, groups, S, d).sum(axis=2).astype(v.dtype)
 
+    def kv_index_dq(b, h, qi, ki):
+        if causal:
+            last_needed = (qi * block_q + block_q - 1 + q_offset) // block_k
+            ki = jnp.minimum(ki, last_needed)
+        return (b, h // groups, ki, 0)
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, kv_len=S,
@@ -300,10 +323,8 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
         grid=(B, Hq, _blocks(T, block_q), _blocks(S, block_k)),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, qi, ki: (b, h // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index_dq),
+            pl.BlockSpec((1, 1, block_k, d), kv_index_dq),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
                          lambda b, h, qi, ki: (b, h, qi, 0)),

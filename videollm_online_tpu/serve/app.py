@@ -64,9 +64,8 @@ def build_app(engine, frame_fps: float, resolution: int):
             return []
 
         def on_time(video_time, gate):
-            engine.cfg = engine.cfg.replace(
-                frame_token_interval_threshold=float(gate or engine.cfg
-                                                     .frame_token_interval_threshold))
+            if gate:
+                engine.set_threshold(float(gate))
             engine.input_video_stream(float(video_time))
             query, response = engine()
             if query:

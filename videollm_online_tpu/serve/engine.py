@@ -93,7 +93,6 @@ class LiveInferEngine:
         interval_id = cfg.frame_token_interval_id
         use_interval = interval_id is not None
         gate_ref_id = interval_id if use_interval else cfg.eos_token_id
-        threshold = cfg.frame_token_interval_threshold
         fnt = self.frame_num_tokens
 
         def fwd(params, embeds, cache, num_valid):
@@ -108,7 +107,7 @@ class LiveInferEngine:
             _, cache = fwd(params, embeds, cache, num_valid)
             return cache
 
-        def gate(logits_row):
+        def gate(logits_row, threshold):
             probs = jax.nn.softmax(logits_row.astype(jnp.float32))
             p_int = probs[gate_ref_id]
             masked = jnp.where(p_int < threshold, probs.at[gate_ref_id].set(0.0),
@@ -117,7 +116,8 @@ class LiveInferEngine:
             fire = next_id != gate_ref_id
             return fire, next_id
 
-        def ingest_burst(params, cache, first_text, first_n, frames, n_frames):
+        def ingest_burst(params, cache, first_text, first_n, frames, n_frames,
+                         threshold):
             """frames: (K, fnt, hidden) connector outputs. Early-exits on
             gate fire. Returns (cache, consumed, fire, next_id)."""
             K = frames.shape[0]
@@ -146,7 +146,7 @@ class LiveInferEngine:
                     lora=params.get("lora"), lora_scaling=scaling,
                     attn_impl=self.attn_impl,
                     logit_gather_positions=num_valid - 1)
-                fire, next_id = gate(logits[0, 0])
+                fire, next_id = gate(logits[0, 0], threshold)
                 return i + 1, cache, fire, next_id
 
             i, cache, fire, next_id = jax.lax.while_loop(
@@ -207,6 +207,12 @@ class LiveInferEngine:
         self.video_tensor = video
         self.num_video_frames = video.shape[0]
         self.video_duration = video.shape[0] / self.frame_fps
+
+    def set_threshold(self, threshold: float):
+        """Adjust the streaming gate threshold at runtime without a
+        recompile (the Gradio slider, reference demo/app.py:54-57) — the
+        threshold is a traced argument of the jitted burst step."""
+        self.cfg = self.cfg.replace(frame_token_interval_threshold=float(threshold))
 
     def input_query_stream(self, query: str, video_time: Optional[float] = None):
         t = self.video_time if video_time is None else video_time
@@ -284,7 +290,9 @@ class LiveInferEngine:
             frames = jnp.stack(burst_embeds)
             self.cache, consumed, fire, next_id = self._ingest(
                 self.params, self.cache, first_text, first_n, frames,
-                jnp.asarray(len(burst_times), jnp.int32))
+                jnp.asarray(len(burst_times), jnp.int32),
+                jnp.asarray(self.cfg.frame_token_interval_threshold,
+                            jnp.float32))
             consumed = int(consumed)
             fire = bool(fire)
             next_id = int(next_id)
