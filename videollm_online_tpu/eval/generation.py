@@ -31,8 +31,11 @@ from ..models import live, llama
 def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
                        frames: Optional[np.ndarray], *,
                        max_new_tokens: int = 512,
-                       capacity: Optional[int] = None) -> np.ndarray:
-    """generate_after_embed equivalent: returns generated ids (1, L)."""
+                       capacity: Optional[int] = None,
+                       num_valid: Optional[int] = None) -> np.ndarray:
+    """generate_after_embed equivalent: returns generated ids (1, L).
+    ``num_valid`` < T marks right-padding (bucketed eval batches) — pads are
+    appended but never advance the ring nor feed the gate."""
     T = input_ids.shape[1]
     capacity = capacity or (T + max_new_tokens + 8)
     cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
@@ -42,7 +45,8 @@ def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
         jnp.asarray(frames) if frames is not None and np.size(frames) else None)
     out, length, _ = gen_mod.greedy_generate(
         params, cfg, cache, embeds,
-        jnp.full((1,), T, jnp.int32), max_new_tokens=max_new_tokens)
+        jnp.full((1,), num_valid or T, jnp.int32),
+        max_new_tokens=max_new_tokens)
     return np.asarray(out)[:, :int(length[0])]
 
 
@@ -80,7 +84,8 @@ class BeamSearcher:
 
     def search(self, input_ids: np.ndarray, frames: Optional[np.ndarray], *,
                max_new_tokens: int = 512, num_return_sequences: int = None,
-               length_penalty: float = 1.0) -> List[np.ndarray]:
+               length_penalty: float = 1.0,
+               num_valid: Optional[int] = None) -> List[np.ndarray]:
         """input_ids: (1, T) prompt. Returns ``num_return_sequences``
         generated-id arrays (EOS included when produced), best first."""
         cfg, K = self.cfg, self.K
@@ -97,7 +102,8 @@ class BeamSearcher:
             else None)
         embeds = jnp.broadcast_to(embeds, (K,) + embeds.shape[1:])
         logp, cache = self._prefill(self.params, embeds,
-                                    jnp.full((K,), T, jnp.int32), cache)
+                                    jnp.full((K,), num_valid or T, jnp.int32),
+                                    cache)
         logp = np.asarray(logp)  # (K, V) — identical rows after prefill
 
         beam_scores = np.full((K,), -1e9, np.float64)
@@ -154,13 +160,15 @@ class BeamSearcher:
 
 def beam_generate(params, cfg: LiveConfig, input_ids, frames, *,
                   num_beams: int = 5, max_new_tokens: int = 512,
-                  num_return_sequences: int = None, **kwargs) -> np.ndarray:
+                  num_return_sequences: int = None,
+                  num_valid: Optional[int] = None, **kwargs) -> np.ndarray:
     """'generate' evaluator: (num_return_sequences, L) padded with -100 to a
     common length (the trainer gathers fixed-width rows)."""
     searcher = BeamSearcher(params, cfg, num_beams)
     seqs = searcher.search(np.asarray(input_ids), frames,
                            max_new_tokens=max_new_tokens,
-                           num_return_sequences=num_return_sequences)
+                           num_return_sequences=num_return_sequences,
+                           num_valid=num_valid)
     L = max((len(s) for s in seqs), default=1)
     out = np.full((len(seqs), max(L, 1)), -100, np.int64)
     for i, s in enumerate(seqs):

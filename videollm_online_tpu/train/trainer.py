@@ -172,8 +172,13 @@ class LiveTrainer:
             for i in range(len(ds)):
                 text, frames, learn_ranges, idx, ekw = ds[i]
                 from ..data.collator import collate
+                # bucket sequence lengths so XLA compiles per bucket, not per
+                # sample; right padding never enters attention (packing)
                 batch = collate([(text, frames, learn_ranges, idx, ekw)],
-                                tokenizer=self.tokenizer)
+                                tokenizer=self.tokenizer,
+                                pad_to_multiple=max(self.args.pad_to_multiple,
+                                                    1))
+                num_valid = int(batch["attention_mask"][0].sum())
                 evaluator = (ekw or {}).get("evaluator", "stream_evaluate")
                 if evaluator == "stream_evaluate":
                     if stream_eval is None:
@@ -188,11 +193,13 @@ class LiveTrainer:
                         num_beams=ekw.get("num_beams", 1),
                         max_new_tokens=ekw.get("max_new_tokens", 512),
                         num_return_sequences=ekw.get("num_return_sequences"),
+                        num_valid=num_valid,
                     ).reshape(-1)
                 elif evaluator == "generate_after_embed":
                     pred = greedy_from_embeds(
                         params, self.cfg, batch["input_ids"], batch["frames"],
                         max_new_tokens=ekw.get("max_new_tokens", 512),
+                        num_valid=num_valid,
                     ).reshape(-1)
                 else:
                     raise ValueError(f"unknown evaluator {evaluator}")
