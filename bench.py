@@ -39,6 +39,12 @@ MODEL_SIZES = {
 
 def main():
     import jax
+    # persistent compile cache: repeated driver runs skip the (slow, remote)
+    # TPU compile entirely
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from videollm_online_tpu.core.config import LiveConfig, LlamaConfig
     from videollm_online_tpu.models import llama, live

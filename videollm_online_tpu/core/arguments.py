@@ -12,8 +12,7 @@ import dataclasses
 from dataclasses import dataclass, field, fields
 from typing import List, Optional
 
-from .config import (LiveConfig, LlamaConfig, LoraConfig, VisionConfig,
-                     live1_config, live1_plus_config)
+from .config import LiveConfig, LoraConfig, live1_config, live1_plus_config
 
 
 @dataclass

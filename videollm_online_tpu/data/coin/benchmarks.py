@@ -9,7 +9,7 @@ embedded prompt, modeling_live_llama.py:69-70)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

@@ -11,7 +11,6 @@ hot .pt files decoded."""
 from __future__ import annotations
 
 import functools
-import os
 from typing import Union
 
 import numpy as np

@@ -14,7 +14,7 @@ import json
 import os
 import random
 import re
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 from ..utils import ceil_time_by_fps
 from .templates import ALL_QUERY_TEMPLATES

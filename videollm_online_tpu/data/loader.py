@@ -8,7 +8,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator
 
 
 class DataLoader:

@@ -14,7 +14,7 @@ design (SURVEY.md §4)."""
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Union
 
 import numpy as np
 

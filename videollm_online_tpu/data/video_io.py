@@ -18,7 +18,7 @@ import json
 import os
 import shutil
 import subprocess
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

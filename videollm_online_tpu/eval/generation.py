@@ -15,7 +15,6 @@ static KV ring; beam reordering is a gather on the batch axis."""
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -12,8 +12,7 @@ the static-shape equivalent of trim_past_key_values."""
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

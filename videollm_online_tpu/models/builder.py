@@ -9,7 +9,7 @@ optionally restores an adapter checkpoint for inference."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 
@@ -57,6 +57,7 @@ def build_model_and_tokenizer(
     cfg = tok.cfg
 
     # base weights
+    from . import llama as llama_mod
     key = jax.random.PRNGKey(seed)
     if args.llm_weights:
         sd = convert.load_safetensors_state_dict(args.llm_weights)
@@ -66,9 +67,8 @@ def build_model_and_tokenizer(
             "connector": live.init_connector(key, cfg),
         }
         if cfg.lora is not None:
-            import jax.random as jrandom
-            params["lora"] = live.__dict__["llama"].init_lora_params(
-                jrandom.fold_in(key, 1), cfg.llama, cfg.lora)
+            params["lora"] = llama_mod.init_lora_params(
+                jax.random.fold_in(key, 1), cfg.llama, cfg.lora)
     else:
         params = live.init_params(key, cfg)
 

@@ -10,7 +10,6 @@ embeddings covering CLS+patches."""
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Tuple
 
 import jax
@@ -124,7 +123,6 @@ def init_params(key: jax.Array, cfg: VisionConfig) -> Params:
 def params_from_state_dict(sd, cfg: VisionConfig, dtype=None) -> Params:
     """Convert HF CLIPVisionModel weights."""
     import re
-    import numpy as np
     from .convert import _to_np
 
     dtype = jnp.dtype(dtype or cfg.dtype)

@@ -17,7 +17,6 @@ same kernel as full self-attention.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

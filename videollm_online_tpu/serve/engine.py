@@ -24,7 +24,6 @@ every generated token.
 from __future__ import annotations
 
 import collections
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -35,7 +34,6 @@ import jax.numpy as jnp
 from ..core.config import LiveConfig
 from ..models import generate as gen_mod
 from ..models import llama, live
-from ..models.llama import KVCache
 from ..tokenizer.live_tokenizer import LiveTokenizer
 
 TEXT_BUCKET = 4        # in-burst prepend: '' | ',' | eos + '\n['

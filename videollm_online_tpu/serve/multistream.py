@@ -18,8 +18,7 @@ device work is always batch-(N) shaped."""
 from __future__ import annotations
 
 import collections
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -28,7 +27,6 @@ import jax.numpy as jnp
 
 from ..core.config import LiveConfig
 from ..models import llama, live
-from ..models.llama import KVCache
 from ..tokenizer.live_tokenizer import LiveTokenizer
 
 TEXT_BUCKET = 4

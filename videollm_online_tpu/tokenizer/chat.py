@@ -22,7 +22,7 @@ the final frame is extended by one char to cover ``]\n``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from ..core.config import LiveConfig
 

@@ -9,7 +9,7 @@ parameter PartitionSpecs (= ZeRO-1/2 equivalence for free).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import optax

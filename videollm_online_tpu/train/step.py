@@ -13,7 +13,7 @@ engine/trainer_with_gen2eval.py, configs/deepspeed/*.json):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

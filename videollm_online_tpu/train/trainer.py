@@ -10,15 +10,12 @@ generate_after_embed) and feeds gathered predictions to the dataset's
 
 from __future__ import annotations
 
-import json
-import math
 import os
 import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..core.arguments import LiveTrainingArguments
