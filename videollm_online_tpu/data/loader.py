@@ -14,7 +14,8 @@ from typing import Callable, Iterator
 class DataLoader:
     def __init__(self, dataset, *, batch_size: int, collate_fn: Callable,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 0, prefetch: int = 4):
+                 num_workers: int = 0, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -23,16 +24,22 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_batches(self):
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idxs)
+        if self.process_count > 1:
+            # multi-host: same seed everywhere, disjoint stripes per process
+            # (the torchrun DistributedSampler contract)
+            idxs = idxs[self.process_index::self.process_count]
         for i in range(0, len(idxs), self.batch_size):
             chunk = idxs[i:i + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:

@@ -38,6 +38,7 @@ from ..tokenizer.live_tokenizer import LiveTokenizer
 
 TEXT_BUCKET = 4        # in-burst prepend: '' | ',' | eos + '\n['
 PROMPT_BUCKETS = (32, 64, 128, 256)  # prefill / query-response prompts
+CHUNK_FRAMES = 8       # frames per chunked-ingest dispatch (catch-up bursts)
 
 
 def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
@@ -152,6 +153,69 @@ class LiveInferEngine:
                              jnp.asarray(False), jnp.asarray(0, jnp.int32)))
             return cache, i, fire, next_id
 
+        def ingest_chunk(params, cache, first_text, first_n, frames, n_frames,
+                         threshold):
+            """Process up to CHUNK_FRAMES frames in ONE forward: tokens are
+            laid out exactly as the sequential loop would have fed them in
+            the non-fired steady state ([prepend] f0 , f1 , f2 ...), gates
+            are read at every frame's last token, and on a fire at frame i
+            the ring offset is set to the end of frame i — the tokens
+            written past it are exactly what trim_past_key_values would have
+            dropped (never attended, overwritten later). One weight-streaming
+            pass amortizes over the whole chunk (~CHUNK x less HBM traffic
+            than per-frame steps on memory-bound models)."""
+            K = frames.shape[0]  # static CHUNK_FRAMES
+            itv = 1 if use_interval else 0
+            per = fnt + itv
+            total = TEXT_BUCKET + K * fnt + (K - 1) * itv
+
+            t_emb = llama.embed_tokens(params["llama"], first_text[None],
+                                       cfg.llama)[0]  # (TEXT_BUCKET, D)
+            f_emb = frames.astype(t_emb.dtype)        # (K, fnt, D)
+            if use_interval:
+                iv_emb = llama.embed_tokens(
+                    params["llama"],
+                    jnp.asarray([[interval_id]], jnp.int32),
+                    cfg.llama)[0]                     # (1, D)
+                unit = jnp.concatenate(
+                    [jnp.broadcast_to(iv_emb[None], (K, 1, t_emb.shape[-1])),
+                     f_emb], axis=1)                  # (K, 1+fnt, D)
+                body = jnp.concatenate(
+                    [f_emb[0], unit[1:].reshape(-1, t_emb.shape[-1])], axis=0)
+            else:
+                body = f_emb.reshape(-1, t_emb.shape[-1])
+            embeds = jnp.concatenate([t_emb, body], axis=0)[None]
+            # pack prepend valid-first
+            embeds = jnp.roll(embeds, -(TEXT_BUCKET - first_n), axis=1)
+            valid_tokens = first_n + n_frames * fnt + jnp.maximum(
+                n_frames - 1, 0) * itv
+            # gates at each frame's last token (chunk-local indices)
+            ends = (first_n + fnt - 1
+                    + jnp.arange(K, dtype=jnp.int32) * per)
+            logits, cache = llama.forward(
+                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+                kv_cache=cache, num_valid=valid_tokens[None],
+                lora=params.get("lora"), lora_scaling=scaling,
+                attn_impl=self.attn_impl)
+            rows = logits[0, ends].astype(jnp.float32)       # (K, V)
+            probs = jax.nn.softmax(rows, axis=-1)
+            p_int = probs[:, gate_ref_id]
+            masked = jnp.where((p_int < threshold)[:, None],
+                               probs.at[:, gate_ref_id].set(0.0), probs)
+            next_ids = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            fires = jnp.logical_and(next_ids != gate_ref_id,
+                                    jnp.arange(K) < n_frames)
+            any_fire = fires.any()
+            first_fire = jnp.argmax(fires)  # 0 if none; guarded by any_fire
+            consumed = jnp.where(any_fire, first_fire + 1, n_frames)
+            consumed_tokens = (first_n + consumed * fnt
+                               + jnp.maximum(consumed - 1, 0) * itv)
+            # rewind the ring to the last consumed frame's end (trim)
+            base = cache.offset - valid_tokens  # offset before this append
+            cache = cache._replace(offset=base + consumed_tokens)
+            last_idx = jnp.clip(consumed - 1, 0, K - 1)
+            return cache, consumed, any_fire, next_ids[last_idx]
+
         def respond(params, cache, prompt_ids, num_valid):
             embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
             embeds = _pack_valid_first(embeds, prompt_ids.shape[1], num_valid)
@@ -161,6 +225,7 @@ class LiveInferEngine:
 
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
+        self._ingest_chunk = jax.jit(ingest_chunk, donate_argnums=(1,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
@@ -285,15 +350,20 @@ class LiveInferEngine:
                     f"(offset {int(self.cache.offset[0])}); raise "
                     f"kv_capacity or reset() the stream")
             first_text, first_n = self._take_prepend()
-            frames = jnp.stack(burst_embeds)
-            self.cache, consumed, fire, next_id = self._ingest(
-                self.params, self.cache, first_text, first_n, frames,
-                jnp.asarray(len(burst_times), jnp.int32),
-                jnp.asarray(self.cfg.frame_token_interval_threshold,
-                            jnp.float32))
-            consumed = int(consumed)
-            fire = bool(fire)
-            next_id = int(next_id)
+            thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
+                              jnp.float32)
+            n_burst = len(burst_times)
+            if n_burst >= 2:
+                consumed, fire, next_id = self._ingest_chunks(
+                    burst_embeds, first_text, first_n, thr)
+            else:
+                frames = jnp.stack(burst_embeds)
+                self.cache, consumed, fire, next_id = self._ingest(
+                    self.params, self.cache, first_text, first_n, frames,
+                    jnp.asarray(n_burst, jnp.int32), thr)
+                consumed = int(consumed)
+                fire = bool(fire)
+                next_id = int(next_id)
             for _ in range(consumed):
                 self.frame_embeds_queue.popleft()
             if consumed:
@@ -311,6 +381,36 @@ class LiveInferEngine:
             if self.query_queue and consumed and burst_times[consumed - 1] >= self.query_queue[0][0]:
                 return self.query_queue.popleft()
         return None, None
+
+    def _ingest_chunks(self, burst_embeds, first_text, first_n, thr):
+        """Drive the chunked ingest over a burst: CHUNK_FRAMES per dispatch,
+        stop at the first fire (offset already rewound on device)."""
+        total_consumed = 0
+        fire = False
+        next_id = 0
+        i = 0
+        n = len(burst_embeds)
+        iv = self.cfg.frame_token_interval_id
+        cont_text = np.zeros((TEXT_BUCKET,), np.int32)
+        if iv is not None:
+            cont_text[-1] = iv
+        cont_n = 1 if iv is not None else 0
+        while i < n and not fire:
+            group = burst_embeds[i:i + CHUNK_FRAMES]
+            k = len(group)
+            frames = jnp.stack(list(group)
+                               + [group[-1]] * (CHUNK_FRAMES - k))
+            text = first_text if i == 0 else jnp.asarray(cont_text)
+            ntext = first_n if i == 0 else jnp.asarray(cont_n, jnp.int32)
+            self.cache, consumed, any_fire, nid = self._ingest_chunk(
+                self.params, self.cache, text, ntext, frames,
+                jnp.asarray(k, jnp.int32), thr)
+            consumed = int(consumed)
+            fire = bool(any_fire)
+            next_id = int(nid)
+            total_consumed += consumed
+            i += consumed
+        return total_consumed, fire, next_id
 
     def _take_prepend(self) -> Tuple[jax.Array, jax.Array]:
         """Pending text tokens for the next frame step, right-aligned in the

@@ -102,11 +102,14 @@ class LiveTrainer:
 
     def train(self):
         args = self.args
+        import jax
         loader = DataLoader(
             self.train_dataset,
             batch_size=args.per_device_train_batch_size,
             collate_fn=self.collate_fn, shuffle=True, seed=args.seed,
-            num_workers=min(args.dataloader_num_workers, 1))
+            num_workers=min(args.dataloader_num_workers, 1),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
         accum = args.gradient_accumulation_steps
         micro: List[dict] = []
         t0 = time.time()
