@@ -58,7 +58,13 @@ class LiveInferEngine:
         kv_capacity: int = 16384,
         frame_fps: Optional[float] = None,
         attn_impl=None,
+        encoder_device=None,
     ):
+        # encoder_device: place the vision tower on a different chip so
+        # frame encoding genuinely overlaps decoder work (the paper claims
+        # this parallelism; the released reference time-multiplexes one GPU,
+        # SURVEY.md §2.3). None = same device as the decoder.
+        self.encoder_device = encoder_device
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
@@ -240,7 +246,24 @@ class LiveInferEngine:
                 flat = live.visual_embed(cparams, feats, cfg)
                 return flat.reshape(-1, fnt, self.hidden)
 
-            self._encode_frames = jax.jit(encode_frames)
+            if self.encoder_device is not None:
+                self.vision_params = jax.device_put(self.vision_params,
+                                                    self.encoder_device)
+                self._enc_connector = jax.device_put(
+                    self.params["connector"], self.encoder_device)
+                enc = jax.jit(encode_frames, device=self.encoder_device)
+                decoder_dev = jax.devices()[0]
+
+                def encode_then_move(vp, _params, pixels):
+                    pixels = jax.device_put(pixels, self.encoder_device)
+                    out = enc(vp, {"connector": self._enc_connector}, pixels)
+                    # async transfer to the decoder chip; dispatch returns
+                    # immediately so encode(t+1) overlaps decode(t)
+                    return jax.device_put(out, decoder_dev)
+
+                self._encode_frames = encode_then_move
+            else:
+                self._encode_frames = jax.jit(encode_frames)
 
     # ---------------------------------------------------------------- state
     def reset(self):
