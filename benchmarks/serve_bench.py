@@ -121,22 +121,24 @@ def main():
             vparams = siglip.init_params(jax.random.fold_in(key, 2),
                                          cfg.vision)
 
+            # params MUST be jit arguments: closing over them inlines the
+            # weights into the HLO as constants (hundreds of MB -> the
+            # remote compiler rejects the payload / compiles forever)
             @jax.jit
-            def encode(px):
+            def encode(vp, px):
                 return siglip.frame_features(
-                    vparams, siglip.preprocess(px, cfg.vision), cfg.vision,
-                    cfg)
+                    vp, siglip.preprocess(px, cfg.vision), cfg.vision, cfg)
 
             progress("compiling encoder...")
             eb = args.encoder_batch
             px = jnp.zeros((eb, 3, cfg.vision.image_size,
                             cfg.vision.image_size), jnp.uint8)
-            feats = encode(px)
+            feats = encode(vparams, px)
             _ = float(feats[0, 0, 0])
             t0 = time.perf_counter()
             iters = 6
             for _ in range(iters):
-                feats = encode(px)
+                feats = encode(vparams, px)
             _ = float(feats[0, 0, 0])
             report["encoder_imgs_per_sec"] = round(eb * iters / (
                 time.perf_counter() - t0), 1)

@@ -41,10 +41,13 @@ def dequantize_weight(qw: Dict[str, jax.Array], axis: int = 0,
 
 
 def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
-    """x (.., in) @ q8 (in, out) * scale (out,) in x.dtype."""
-    w = qw[QUANT_KEY].astype(x.dtype)
-    y = x @ w
-    return y * qw["scale"].astype(x.dtype)
+    """x (.., in) @ q8 (in, out) * scale (out,) in x.dtype.
+
+    Decode-sized calls route to the Pallas dequant-matmul kernel
+    (ops/quant_matmul.py) so the int8 weights cross HBM exactly once; large
+    (prefill/training) shapes use the XLA path."""
+    from ..ops.quant_matmul import quant_matmul
+    return quant_matmul(x, qw[QUANT_KEY], qw["scale"])
 
 
 def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
