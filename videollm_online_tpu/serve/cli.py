@@ -81,6 +81,9 @@ def main(argv=None):
     p.add_argument("--with_vision", action="store_true")
     p.add_argument("--query", default="Please narrate the video in real time.")
     p.add_argument("--num_ticks", type=int, default=100)
+    p.add_argument("--warmup_ticks", type=int, default=2,
+                   help="ticks excluded from the FPS average (first-use jit "
+                        "compiles dominate them)")
     p.add_argument("--kv_capacity", type=int, default=16384)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="cli_history.json")
@@ -102,7 +105,8 @@ def main(argv=None):
         engine.input_video_stream(t)
         query, response = engine()
         dt = time.perf_counter() - start
-        times.append(dt)
+        if i >= args.warmup_ticks:
+            times.append(dt)
         for role, msg in (("user", query), ("assistant", response)):
             if msg:
                 history["messages"].append(
