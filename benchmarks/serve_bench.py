@@ -95,14 +95,16 @@ def main():
         prompt = jnp.zeros((1, 32, D), jnp.bfloat16)
         nv = jnp.asarray([14], jnp.int32)
         progress("compiling response decode...")
-        out, length, cache = gen_mod.greedy_generate(params, cfg, cache,
-                                                     prompt, nv)
+        jgreedy = jax.jit(functools.partial(
+            gen_mod.greedy_generate, max_new_tokens=None,
+            attn_impl=auto_attention),
+            static_argnames=("cfg",), donate_argnames=("cache",))
+        out, length, cache = jgreedy(params, cfg, cache, prompt, nv)
         _ = int(length[0])
         progress("measuring response latency...")
         for _ in range(8):
             t0 = time.perf_counter()
-            out, length, cache = gen_mod.greedy_generate(params, cfg, cache,
-                                                         prompt, nv)
+            out, length, cache = jgreedy(params, cfg, cache, prompt, nv)
             _ = int(length[0])
             hist.add("response_full_budget", time.perf_counter() - t0)
 

@@ -15,6 +15,7 @@ static KV ring; beam reordering is a gather on the batch axis."""
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -25,6 +26,19 @@ import jax.numpy as jnp
 from ..core.config import LiveConfig
 from ..models import generate as gen_mod
 from ..models import live, llama
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new_tokens", "attn_impl"),
+                   donate_argnames=("cache",))
+def _jit_greedy_from_embeds(params, cfg, cache, input_ids, frames, num_valid,
+                            max_new_tokens, attn_impl=None):
+    """One dispatch for embed+prefill+decode — calling the pieces eagerly
+    costs ~1 ms/op through remote-dispatch transports."""
+    embeds = live.joint_embed(params, cfg, input_ids, frames)
+    return gen_mod.greedy_generate(params, cfg, cache, embeds, num_valid,
+                                   max_new_tokens=max_new_tokens,
+                                   attn_impl=attn_impl)
 
 
 def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
@@ -39,13 +53,12 @@ def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
     capacity = capacity or (T + max_new_tokens + 8)
     cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
                                 dtype=jnp.dtype(cfg.llama.dtype))
-    embeds = live.joint_embed(
-        params, cfg, jnp.asarray(input_ids),
-        jnp.asarray(frames) if frames is not None and np.size(frames) else None)
-    out, length, _ = gen_mod.greedy_generate(
-        params, cfg, cache, embeds,
+    from ..ops.auto import auto_attention
+    out, length, _ = _jit_greedy_from_embeds(
+        params, cfg, cache, jnp.asarray(input_ids),
+        jnp.asarray(frames) if frames is not None and np.size(frames) else None,
         jnp.full((1,), num_valid or T, jnp.int32),
-        max_new_tokens=max_new_tokens)
+        max_new_tokens, auto_attention)
     return np.asarray(out)[:, :int(length[0])]
 
 

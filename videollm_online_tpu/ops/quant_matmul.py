@@ -1,14 +1,11 @@
-"""Pallas weight-only-int8 matmul for the decode hot path.
+"""Pallas weight-only-int8 matmul (opt-in; XLA currently wins).
 
-XLA lowers ``x @ w_int8.astype(bf16)`` by materializing the converted bf16
-weights in HBM (read 1x int8 + write 2x + read 2x = 5x the traffic that
-weight-only quantization was meant to save). This kernel streams the int8
-blocks HBM->VMEM, converts on-chip, runs the bf16 MXU matmul with fp32
-accumulation, and applies the per-output-channel scale in the epilogue —
-the weight bytes cross HBM exactly once.
-
-Decode-shaped: activations are a few rows (1-128 tokens x hidden); weights
-are the big (K, N) int8 matrices of models/quant.py."""
+Streams int8 weight blocks HBM->VMEM, converts on-chip, bf16 MXU matmul
+with fp32 accumulation, per-output-channel scale epilogue. Measured on v5e
+at decode shapes (8 x 4096 @ 4096x14336): ~280 GB/s effective vs ~371 GB/s
+for XLA's FUSED convert-matmul (XLA does NOT materialize bf16 temporaries
+as one might fear), so models/quant.py keeps the XLA path; this kernel
+stays as a tuning base (bigger-block DMA pipelining is the gap)."""
 
 from __future__ import annotations
 
