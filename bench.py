@@ -11,6 +11,10 @@ model (README.md:13); vs_baseline uses the 12.5 midpoint.
 
 Env knobs:
   BENCH_MODEL  = tiny | 1b | 3b | 8b   (default: 8b; 8b implies int8 weights)
+  BENCH_MODE   = chunk | frame         (default: chunk — the engine's
+                 chunked-ingest step, 8 frames per dispatch, which is how
+                 sustained load is actually served; 'frame' measures the
+                 one-frame-per-dispatch real-time path)
   BENCH_QUANT  = 1 | int8              (weight-only int8 for other sizes)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192)
@@ -102,20 +106,51 @@ def main():
         key, (cfg.frame_num_tokens, D), jnp.bfloat16)
     interval_id = jnp.asarray(cfg.frame_token_interval_id, jnp.int32)
 
-    # warmup / compile (NOTE: on the axon tunnel platform block_until_ready
-    # can return early; a host scalar readback is the reliable fence)
-    cache, fire, nid = frame_step(params, cache, frame_embeds, interval_id)
-    _ = int(nid)
-
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        cache, fire, nid = frame_step(params, cache, frame_embeds, interval_id)
-    _ = (int(nid), int(cache.offset[0]))  # force the whole dispatch chain
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    mode = os.environ.get("BENCH_MODE", "chunk")
+    if mode == "chunk":
+        # sustained-load path: the serving engine batches queued frames into
+        # 8-frame chunk steps (serve/engine.py ingest_chunk) — one weight
+        # pass amortizes over the chunk
+        from videollm_online_tpu.serve.engine import (CHUNK_FRAMES,
+                                                      LiveInferEngine)
+        engine = LiveInferEngine(params, tok, cfg, kv_capacity=capacity)
+        text = jnp.zeros((4,), jnp.int32).at[-1].set(
+            cfg.frame_token_interval_id)
+        n_text = jnp.asarray(1, jnp.int32)
+        thr = jnp.asarray(-1.0, jnp.float32)
+        chunk = jax.random.normal(
+            key, (CHUNK_FRAMES, cfg.frame_num_tokens, D), jnp.bfloat16)
+        k_frames = jnp.asarray(CHUNK_FRAMES, jnp.int32)
+        cache, consumed, fire, nid = engine._ingest_chunk(
+            params, cache, text, n_text, chunk, k_frames, thr)
+        _ = int(nid)
+        iters = max(n_frames // CHUNK_FRAMES, 1)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cache, consumed, fire, nid = engine._ingest_chunk(
+                params, cache, text, n_text, chunk, k_frames, thr)
+        _ = (int(nid), int(cache.offset[0]))
+        dt = time.perf_counter() - t0
+        fps = iters * CHUNK_FRAMES / dt
+        metric = f"streaming_sustained_ingest_fps_{size}"
+    else:
+        # real-time path: one dispatch per frame
+        # (NOTE: on the axon tunnel platform block_until_ready can return
+        # early; a host scalar readback is the reliable fence)
+        cache, fire, nid = frame_step(params, cache, frame_embeds,
+                                      interval_id)
+        _ = int(nid)
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            cache, fire, nid = frame_step(params, cache, frame_embeds,
+                                          interval_id)
+        _ = (int(nid), int(cache.offset[0]))
+        dt = time.perf_counter() - t0
+        fps = n_frames / dt
+        metric = f"streaming_frame_ingest_fps_{size}"
 
     print(json.dumps({
-        "metric": f"streaming_frame_ingest_fps_{size}",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
