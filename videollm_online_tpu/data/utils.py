@@ -40,6 +40,17 @@ def case_connect(prefix: str, suffix: str) -> str:
     return prefix + " " + suffix[0].upper() + suffix[1:]
 
 
+def inverse_preprocess_to_images(frames: np.ndarray, mean: Sequence[float],
+                                 std: Sequence[float]) -> np.ndarray:
+    """Undo normalization back to uint8 HWC images (reference
+    data/utils.py:14-17 returns PIL images; numpy here, PIL-able)."""
+    mean = np.asarray(mean, np.float32).reshape(1, -1, 1, 1)
+    std = np.asarray(std, np.float32).reshape(1, -1, 1, 1)
+    x = frames * std + mean
+    x = np.clip(x * 255.0, 0, 255).astype(np.uint8)
+    return x.transpose(0, 2, 3, 1)
+
+
 def temporal_iou(region1: Sequence[float], region2: Sequence[float]) -> float:
     area1 = region1[1] - region1[0]
     area2 = region2[1] - region2[0]

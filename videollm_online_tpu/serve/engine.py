@@ -301,8 +301,16 @@ class LiveInferEngine:
         self.cfg = self.cfg.replace(frame_token_interval_threshold=float(threshold))
 
     def input_query_stream(self, query: str, video_time: Optional[float] = None):
+        """Queue a user query; returns the user-facing NOTE string the
+        reference shows in the chat box (demo/inference.py:93-100)."""
         t = self.video_time if video_time is None else video_time
         self.query_queue.append((t, query))
+        if not self._started:
+            return (f'(NOTE: No video stream here. Please select or upload '
+                    f'a video. Then the assistant will answer "{query} (at '
+                    f'{self.video_time}s)" in the video stream)')
+        return (f'(NOTE: Received "{query}" (at {self.video_time}s). Please '
+                f'wait until previous frames have been processed)')
 
     def input_video_stream(self, video_time: float):
         """Encode/enqueue all frames up to ``video_time``
