@@ -52,6 +52,18 @@ def build_engine(args):
     if args.checkpoint:
         from ..train.checkpoints import restore_params
         params = restore_params(args.checkpoint)
+        if getattr(args, "quantize", "") == "int8":
+            from ..models import quant
+            params = quant.quantize_live_params(params)
+    elif getattr(args, "quantize", "") == "int8" or args.model_size == "8b":
+        # 8B bf16 exceeds one 16GB chip; serve int8 (random init without a
+        # checkpoint — smoke/perf mode)
+        from ..models import quant
+        key = jax.random.PRNGKey(args.seed)
+        params = {
+            "llama": quant.random_quantized_llama_params(key, cfg.llama),
+            "connector": live.init_connector(jax.random.fold_in(key, 1), cfg),
+        }
     else:
         params = live.init_params(jax.random.PRNGKey(args.seed), cfg)
 
@@ -78,6 +90,9 @@ def main(argv=None):
     p.add_argument("--model_size", default="tiny",
                    choices=["tiny", "1b", "8b"])
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="weight-only int8 (implied for --model_size 8b "
+                        "without a checkpoint)")
     p.add_argument("--with_vision", action="store_true")
     p.add_argument("--query", default="Please narrate the video in real time.")
     p.add_argument("--num_ticks", type=int, default=100)
