@@ -108,6 +108,35 @@ def test_collator_v_targets_remap_to_eos():
     assert (batch["labels"] < tok.cfg.v_placeholder_id).all()
 
 
+@pytest.mark.parametrize("preset", ["live1plus", "live1"])
+def test_collator_pad_region_labels_are_ignore(preset):
+    """Right padding + a learn range ending at the final EOS must NOT spill
+    eos (==pad) labels into the pad region (advisor finding r1-high): the
+    reference's fallback stop=len(input_ids) assumes LEFT padding
+    (data_collator.py:18)."""
+    cfg = _cfg(preset)
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg
+    conv = [
+        {"role": "system", "content": "s."},
+        {"role": "stream", "num_frames": 2, "learn": True},
+        {"role": "assistant", "content": "hi", "learn": True},
+    ]
+    sample = (tok.apply_chat_template(conv), None,
+              tok.get_learn_ranges(conv), 0, None)
+    batch = collate([sample], tokenizer=tok, pad_to_multiple=256)
+    ids, labels, am = (batch["input_ids"][0], batch["labels"][0],
+                       batch["attention_mask"][0])
+    n_real = int(am.sum())
+    assert n_real < ids.shape[0], "test needs actual padding"
+    assert (labels[n_real:] == -100).all(), "labels spilled into pad region"
+    # the final eos of the real sequence is still supervised
+    assert labels[n_real - 2] == cfg.eos_token_id
+    # padded and unpadded collation agree on the real region
+    ref = collate([sample], tokenizer=tok)
+    assert (ref["labels"][0] == labels[:ref["labels"].shape[1]]).all()
+
+
 def test_batch_padding_sides():
     cfg = live1_plus_config()
     tok = LiveTokenizer(ByteTokenizer(), cfg)

@@ -106,3 +106,32 @@ def test_forward_loss_and_cache_paths():
         labels=jnp.asarray(batch["labels"]))
     assert np.isfinite(float(loss))
     assert logits.shape[:2] == batch["input_ids"].shape
+
+
+def test_lora_dropout_applied_in_training_only():
+    """With a dropout rng, the LoRA branch input is dropped (PEFT
+    lora_dropout=0.05, reference modeling_live.py:207); without an rng the
+    forward is deterministic and dropout-free (inference/eval semantics)."""
+    cfg, tok = make_cfg()
+    assert cfg.lora.dropout > 0.0
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    # make LoRA actually contribute: B is zero-init, so perturb it
+    def bump(t):
+        return jax.tree.map(
+            lambda x: x + 0.05 if x.ndim >= 2 else x, t)
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    ids = jnp.asarray([[5, 6, 7, 8, 9, 10, 11, 12]])
+    base1, _, _ = live.forward(params, cfg, input_ids=ids)
+    base2, _, _ = live.forward(params, cfg, input_ids=ids)
+    np.testing.assert_array_equal(np.asarray(base1), np.asarray(base2))
+    d1, _, _ = live.forward(params, cfg, input_ids=ids,
+                            dropout_rng=jax.random.PRNGKey(1))
+    d2, _, _ = live.forward(params, cfg, input_ids=ids,
+                            dropout_rng=jax.random.PRNGKey(2))
+    # different masks -> different logits; and both differ from no-dropout
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    assert not np.allclose(np.asarray(d1), np.asarray(base1))
+    # same rng -> reproducible
+    d1b, _, _ = live.forward(params, cfg, input_ids=ids,
+                             dropout_rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))

@@ -56,7 +56,12 @@ def collate(
                 assert cand_stop.size == 1
                 stop = int(cand_stop[0])
             else:  # range runs to the final eos token
-                stop = input_ids.shape[1]
+                # The reference's fallback is len(input_ids) under LEFT
+                # padding (data_collator.py:18); we pad RIGHT, so the real
+                # token count is the correct stop — otherwise labels spill
+                # eos (==pad) targets into the pad region, distorting the
+                # stream CE loss and faking turn boundaries in eval.
+                stop = int(valid.sum())
             labels[i, start - 1:stop - 1] = input_ids[i, start:stop]
     # <v>-targets become EOS (streaming EOS objective)
     labels[labels >= v_id] = eos_id

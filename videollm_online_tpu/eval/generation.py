@@ -136,7 +136,11 @@ class BeamSearcher:
                 if tok == eos:
                     # HF: EOS candidates beyond rank K are dropped
                     if rank < K:
-                        denom = max(step_i, 1) ** length_penalty
+                        # HF divides by the generated length INCLUDING the
+                        # eos (BeamSearchScorer.process: cur_len =
+                        # input_ids.shape[-1] + 1), same convention as the
+                        # open-beam finalize below
+                        denom = (step_i + 1) ** length_penalty
                         finished.append((score / denom,
                                          beam_tokens[parent] + [tok]))
                 else:

@@ -118,6 +118,7 @@ def forward(
     num_valid: Optional[jax.Array] = None,
     remat: bool = False,
     attn_impl=None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
     """Returns (logits, loss or None, updated cache or None).
 
@@ -128,10 +129,13 @@ def forward(
         inputs_embeds = joint_embed(params, cfg, input_ids, frames)
     lora = params.get("lora")
     scaling = cfg.lora.scaling if (cfg.lora is not None and lora is not None) else 1.0
+    lora_dropout = (cfg.lora.dropout if (cfg.lora is not None
+                                         and lora is not None) else 0.0)
     logits, new_cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=inputs_embeds,
         kv_cache=kv_cache, num_valid=num_valid, lora=lora,
         lora_scaling=scaling, remat=remat, attn_impl=attn_impl,
+        lora_dropout_rng=dropout_rng, lora_dropout=lora_dropout,
     )
     loss = None
     if labels is not None:

@@ -108,14 +108,22 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def dense(x: jax.Array, w, lora: Optional[Dict] = None,
-          scaling: float = 1.0) -> jax.Array:
+          scaling: float = 1.0, drop_rng: Optional[jax.Array] = None,
+          drop_rate: float = 0.0) -> jax.Array:
     if isinstance(w, dict):  # weight-only int8 (models/quant.py)
         from .quant import quantized_matmul
         y = quantized_matmul(x, w)
     else:
         y = x @ w
     if lora is not None:
-        y = y + scaling * ((x @ lora["lora_a"].swapaxes(-1, -2))
+        xl = x
+        if drop_rng is not None and drop_rate > 0.0:
+            # PEFT applies nn.Dropout(lora_dropout) to the LoRA-branch input
+            # only (reference trains with lora_dropout=0.05,
+            # modeling_live.py:207); inference passes no rng -> deterministic
+            keep = jax.random.bernoulli(drop_rng, 1.0 - drop_rate, x.shape)
+            xl = jnp.where(keep, x / (1.0 - drop_rate), 0.0).astype(x.dtype)
+        y = y + scaling * ((xl @ lora["lora_a"].swapaxes(-1, -2))
                            @ lora["lora_b"].swapaxes(-1, -2))
     return y
 
@@ -209,7 +217,7 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
 
 
 def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
-           lora_scaling, attn_impl):
+           lora_scaling, attn_impl, layer_rng=None, lora_dropout=0.0):
     """One transformer block. kv_slice: (k_l, v_l, write_offset) or None."""
     B, S, D = h.shape
     Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -217,10 +225,23 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
     def lget(name):
         return None if layer_lora is None else layer_lora.get(name)
 
+    rngs = {}
+    if layer_rng is not None and lora_dropout > 0.0:
+        names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+        keys = jax.random.split(layer_rng, len(names))
+        rngs = dict(zip(names, keys))
+
+    def rng(name):
+        return rngs.get(name)
+
+    def dns(x, name):
+        return dense(x, layer_params[name], lget(name), lora_scaling,
+                     drop_rng=rng(name), drop_rate=lora_dropout)
+
     x = rms_norm(h, layer_params["attn_norm"], cfg.rms_norm_eps)
-    q = dense(x, layer_params["wq"], lget("wq"), lora_scaling)
-    k = dense(x, layer_params["wk"], lget("wk"), lora_scaling)
-    v = dense(x, layer_params["wv"], lget("wv"), lora_scaling)
+    q = dns(x, "wq")
+    k = dns(x, "wk")
+    v = dns(x, "wv")
     q = q.reshape(B, S, Hq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
@@ -245,13 +266,12 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
         new_kv = None
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, Hq * hd)
-    h = h + dense(attn_out, layer_params["wo"], lget("wo"), lora_scaling)
+    h = h + dns(attn_out, "wo")
 
     x = rms_norm(h, layer_params["mlp_norm"], cfg.rms_norm_eps)
-    gate = dense(x, layer_params["w_gate"], lget("w_gate"), lora_scaling)
-    up = dense(x, layer_params["w_up"], lget("w_up"), lora_scaling)
-    h = h + dense(jax.nn.silu(gate) * up, layer_params["w_down"],
-                  lget("w_down"), lora_scaling)
+    gate = dns(x, "w_gate")
+    up = dns(x, "w_up")
+    h = h + dns(jax.nn.silu(gate) * up, "w_down")
     return h, new_kv
 
 
@@ -271,6 +291,8 @@ def forward(
     return_hidden: bool = False,
     last_logit_only: bool = False,
     logit_gather_positions: Optional[jax.Array] = None,
+    lora_dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder.
 
@@ -298,13 +320,25 @@ def forward(
 
     layer_lora = (lora or {}).get("layers") or None
 
+    use_dropout = (lora_dropout_rng is not None and lora_dropout > 0.0
+                   and layer_lora is not None)
+    if use_dropout:
+        layer_rngs = jax.random.split(lora_dropout_rng, cfg.num_layers + 1)
+        head_rng = layer_rngs[-1]
+        layer_rngs = layer_rngs[:-1]
+    else:
+        layer_rngs = jnp.zeros((cfg.num_layers, 0))
+        head_rng = None
+
     def body(h, xs):
-        layer_params, layer_lora_x, kv_l = xs
+        layer_params, layer_lora_x, kv_l, rng_l = xs
         kv_slice = None
         if kv_cache is not None:
             kv_slice = (kv_l[0], kv_l[1], kv_cache.offset)
         h, new_kv = _layer(h, layer_params, layer_lora_x, cos, sin, positions,
-                           kv_slice, cfg, lora_scaling, attn_impl)
+                           kv_slice, cfg, lora_scaling, attn_impl,
+                           layer_rng=rng_l if use_dropout else None,
+                           lora_dropout=lora_dropout if use_dropout else 0.0)
         return h, new_kv
 
     if remat:
@@ -312,7 +346,8 @@ def forward(
 
     kv_xs = (kv_cache.k, kv_cache.v) if kv_cache is not None else (
         jnp.zeros((cfg.num_layers, 0)), jnp.zeros((cfg.num_layers, 0)))
-    h, new_kvs = jax.lax.scan(body, h, (params["layers"], layer_lora, kv_xs))
+    h, new_kvs = jax.lax.scan(body, h,
+                              (params["layers"], layer_lora, kv_xs, layer_rngs))
 
     if logit_gather_positions is not None:
         # (B,) positions within the chunk (e.g. last *valid* slot of a
@@ -324,7 +359,8 @@ def forward(
     if return_hidden:
         logits = h
     else:
-        logits = lm_head(params, h, cfg, lora=lora, lora_scaling=lora_scaling)
+        logits = lm_head(params, h, cfg, lora=lora, lora_scaling=lora_scaling,
+                         drop_rng=head_rng, drop_rate=lora_dropout)
 
     new_cache = None
     if kv_cache is not None:
@@ -347,7 +383,9 @@ def embed_tokens(params: Params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.
 
 
 def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
-            lora: Optional[Params] = None, lora_scaling: float = 1.0) -> jax.Array:
+            lora: Optional[Params] = None, lora_scaling: float = 1.0,
+            drop_rng: Optional[jax.Array] = None,
+            drop_rate: float = 0.0) -> jax.Array:
     if cfg.tie_word_embeddings:
         assert not isinstance(params["embed"], dict), (
             "tied embeddings are not supported with int8 weights")
@@ -355,4 +393,5 @@ def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
     else:
         w = params["lm_head"]
     head_lora = (lora or {}).get("lm_head")
-    return dense(h, w, head_lora, lora_scaling)
+    return dense(h, w, head_lora, lora_scaling, drop_rng=drop_rng,
+                 drop_rate=drop_rate)

@@ -86,6 +86,9 @@ class LiveInferEngine:
         self._stream_prompt_ids = np.asarray(
             tok.encode("\n["), np.int32)  # after-EOS reopen (inference.py:65)
         self._gen_prompt_text = "]\nAssistant:"  # add_stream_generation_prompt
+        n_gen = len(tok.encode(self._gen_prompt_text))
+        self._gen_prompt_bucket = next(
+            (b for b in PROMPT_BUCKETS if b >= n_gen), n_gen)
 
         self._build_jitted()
         self.reset()
@@ -372,9 +375,13 @@ class LiveInferEngine:
 
             # capacity guard: the reference grows its KV unbounded until GPU
             # OOM (demo/inference.py); the static ring fails loudly instead.
+            # Budget covers the burst PLUS the gate-fire response turn that
+            # may follow (']\nAssistant:' bucket + generation); query-prompt
+            # turns (buckets up to 256) are guarded in _respond_at with the
+            # actual bucket, since their paths can bypass this guard.
             worst = (int(self.cache.offset[0]) + len(burst_times)
                      * (TEXT_BUCKET + self.frame_num_tokens)
-                     + self.cfg.max_response_tokens)
+                     + self._gen_prompt_bucket + self.cfg.max_response_tokens)
             if worst > self.kv_capacity:
                 raise RuntimeError(
                     f"KV ring capacity {self.kv_capacity} would be exceeded "
@@ -400,6 +407,13 @@ class LiveInferEngine:
             if consumed:
                 self.video_time_processed = burst_times[consumed - 1]
             if fire:
+                # reference checks the query BEFORE the gate per frame
+                # (demo/inference.py:72-74 precedes :76-81): a query at the
+                # fired frame's timestamp takes priority over the gate fire.
+                if (self.query_queue and consumed
+                        and burst_times[consumed - 1] >= self.query_queue[0][0]):
+                    self._pending_prepend = []
+                    return self.query_queue.popleft()
                 # model decided to respond at this frame (gate fired); the
                 # predicted token is dropped, ']\nAssistant:' is fed instead
                 # (demo/inference.py:43-45)
@@ -482,6 +496,16 @@ class LiveInferEngine:
         self._started = True  # any cache write counts (ref checks emptiness)
         n = len(prompt)
         bucket = next((b for b in PROMPT_BUCKETS if b >= n), n)
+        # capacity guard for the response turn itself: the query-before-frame
+        # paths reach here without passing the burst guard, and an unchecked
+        # overflow would silently clamp the ring write (cache corruption)
+        worst = (int(self.cache.offset[0]) + bucket
+                 + self.cfg.max_response_tokens)
+        if worst > self.kv_capacity:
+            raise RuntimeError(
+                f"KV ring capacity {self.kv_capacity} would be exceeded by "
+                f"the response turn (offset {int(self.cache.offset[0])}, "
+                f"prompt bucket {bucket}); raise kv_capacity or reset()")
         buf = np.zeros((1, bucket), np.int32)
         buf[0, bucket - n:] = prompt
         out_ids, length, self.cache = self._respond(

@@ -38,7 +38,7 @@ def init_train_state(params: Dict[str, Any], tx: optax.GradientTransformation
 
 
 def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
-            attn_impl=None):
+            attn_impl=None, dropout_rng=None):
     params = optim.merge_params(trainable, frozen)
     _, loss, _ = live.forward(
         params, cfg,
@@ -47,6 +47,7 @@ def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
         labels=batch["labels"],
         remat=remat,
         attn_impl=attn_impl,
+        dropout_rng=dropout_rng,
     )
     return loss
 
@@ -56,23 +57,32 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
                attn_impl=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer step. With ``accum_steps > 1``, every array in ``batch``
     must carry a leading (accum_steps, ...) axis; gradients are averaged by a
-    scan before the update."""
+    scan before the update.
 
-    def grads_of(b):
+    LoRA dropout (reference PEFT lora_dropout=0.05, modeling_live.py:207) is
+    driven by a per-step rng folded from the step counter — deterministic
+    resume, no rng state to checkpoint."""
+    step_rng = jax.random.fold_in(jax.random.PRNGKey(0x10ad), state.step)
+
+    def grads_of(b, rng):
         return jax.value_and_grad(loss_fn)(state.trainable, frozen, cfg, b,
-                                           attn_impl=attn_impl)
+                                           attn_impl=attn_impl,
+                                           dropout_rng=rng)
 
     if accum_steps == 1:
-        loss, grads = grads_of(batch)
+        loss, grads = grads_of(batch, step_rng)
     else:
-        def body(carry, microbatch):
+        def body(carry, xs):
+            microbatch, micro_rng = xs
             loss_acc, grad_acc = carry
-            loss, grads = grads_of(microbatch)
+            loss, grads = grads_of(microbatch, micro_rng)
             return (loss_acc + loss,
                     jax.tree.map(jnp.add, grad_acc, grads)), None
 
         zeros = jax.tree.map(jnp.zeros_like, state.trainable)
-        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), batch)
+        micro_rngs = jax.random.split(step_rng, accum_steps)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros),
+                                        (batch, micro_rngs))
         loss = loss / accum_steps
         grads = jax.tree.map(lambda g: g / accum_steps, grads)
 
