@@ -285,3 +285,51 @@ def test_augmentation_and_truncation(ego4d_root, tok):
     text, frames, lr, idx, ekw = ds[0]
     # truncated to <= 6 frames
     assert frames.shape[0] <= 6
+
+
+def test_coin_download_verify_and_redownload(tmp_path, monkeypatch):
+    """Fault handling of the COIN downloader (reference
+    data/coin/download_videos.py:10-19): verified files are skipped, broken
+    files are removed and re-fetched, download errors don't crash the pool."""
+    from videollm_online_tpu.data.coin import download_videos as dv
+
+    calls = []
+
+    def fake_run(cmd, check=True, capture_output=True, **kw):
+        calls.append(cmd[0])
+        if cmd[0].endswith("ffmpeg"):
+            # integrity check: files containing 'ok' verify, others fail
+            path = cmd[cmd.index("-i") + 1]
+            if open(path).read() != "ok":
+                raise __import__("subprocess").CalledProcessError(1, cmd)
+            return None
+        # yt-dlp: 'fails' id errors out; others succeed and write the file
+        out = cmd[cmd.index("-o") + 1]
+        if "fails" in out:
+            raise __import__("subprocess").CalledProcessError(
+                1, cmd, stderr="ERROR: video unavailable")
+        open(out, "w").write("ok")
+        return None
+
+    monkeypatch.setattr(dv.subprocess, "run", fake_run)
+
+    ann = {"database": {
+        "good": {"video_url": "u1"},
+        "broken": {"video_url": "u2"},
+        "fails": {"video_url": "u3"},
+        "fresh": {"video_url": "u4"},
+    }}
+    jp = tmp_path / "coin.json"
+    jp.write_text(__import__("json").dumps(ann))
+    out = tmp_path / "videos"
+    out.mkdir()
+    (out / "good.mp4").write_text("ok")        # verifies -> skipped
+    (out / "broken.mp4").write_text("corrupt") # fails verify -> re-download
+
+    results = dict(dv.download_all(str(out), str(jp), num_workers=2))
+    assert results["good"] == "verified"
+    assert results["broken"] == "downloaded"
+    assert (out / "broken.mp4").read_text() == "ok"
+    assert results["fresh"] == "downloaded"
+    assert results["fails"].startswith("error")
+    assert not (out / "fails.mp4").exists()

@@ -194,7 +194,7 @@ REFINED_INSTRUCTIONS = [
         "Do concise real-time narration.",
         "Hey assistant, do you know the current video content? Reply me concisely.",
         "Simply interpret the scene for me.",
-        "What can you tell me about? Be brief.",
+        "What can you tell me about? Be concise.",
         "Use simple text to explain what is shown in front of me.",
         "What is the action now? Please response in short.",
     )

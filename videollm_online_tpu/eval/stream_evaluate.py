@@ -95,9 +95,24 @@ class StreamEvaluator:
         T = len(input_id)
         fnt = cfg.frame_num_tokens
 
-        # capacity with rollforward headroom (bounded by one extra turn)
+        # turn boundaries: eos positions (modeling_live.py:60-62)
+        stops = (np.nonzero(input_id == cfg.eos_token_id)[0] + 1).tolist()
+        starts = [0] + stops[:-1]
+        num_turns = len(starts)
+
+        v_mask_all = input_id == cfg.v_placeholder_id
+
+        # capacity with rollforward headroom: the rollforward appends at most
+        # min(next turn's frames, this turn's frames - 1) frame units beyond
+        # T (see _rollforward call below) — bound it exactly from the sample
+        # instead of a guessed constant that a large live1 turn could exceed
         per_frame_append = fnt + (1 if self.use_interval else 0)
-        capacity = T + cfg.max_num_frames * 0 + 4096
+        turn_frames = [int(v_mask_all[ts:te].sum()) // fnt
+                       for ts, te in zip(starts, stops)]
+        max_roll = max(
+            (min(turn_frames[r + 1], turn_frames[r] - 1)
+             for r in range(num_turns - 1)), default=0)
+        capacity = T + max(max_roll, 0) * per_frame_append
         cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
                                     dtype=jnp.dtype(cfg.llama.dtype))
         jframes = jnp.asarray(frames) if frames is not None and np.size(frames) else None
@@ -108,13 +123,6 @@ class StreamEvaluator:
         argmax = np.asarray(argmax)
         argmax_excl = np.asarray(argmax_excl)
         p_int = np.asarray(p_int)
-
-        # turn boundaries: eos positions (modeling_live.py:60-62)
-        stops = (np.nonzero(input_id == cfg.eos_token_id)[0] + 1).tolist()
-        starts = [0] + stops[:-1]
-        num_turns = len(starts)
-
-        v_mask_all = input_id == cfg.v_placeholder_id
         learn_mask_all = label != IGNORE
 
         lm_ppls, frame_diffs, fluencies, lm_corrects = [], [], [], []
