@@ -88,7 +88,10 @@ def test_multistream_matches_single_stream():
 def test_multistream_isolation():
     """A stream with no input stays silent and its cache offset untouched."""
     cfg, tok, params = _setup(seed=1)
-    ms = MultiStreamEngine(params, tok, cfg, num_streams=2, kv_capacity=256)
+    # 256 was actually over the edge: prefill slab + 2 frame steps + a
+    # 128-bucket response + 16 decode tokens > 256, silently clamped before
+    # the capacity guard existed
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=2, kv_capacity=512)
     feats = np.random.RandomState(0).randn(
         2, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
     ms.input_frames(0, 0.0, feats)
@@ -98,3 +101,45 @@ def test_multistream_isolation():
     assert offsets[0] > 0
     assert offsets[1] == 0
     assert ms.transcripts[1] == []
+
+
+def test_multistream_chunked_catchup_matches_single_stream():
+    """Feed ALL frames at once (catch-up burst > 1) so the batched chunked
+    ingest path runs, and require per-stream transcript equality with
+    single-stream engines given the same late burst."""
+    cfg, tok, params = _setup(threshold=0.725, seed=2)
+    N, n_frames = 2, 10
+    rng = np.random.RandomState(7)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+
+    single_out = [[] for _ in range(N)]
+    for i in range(N):
+        e = LiveInferEngine(params, tok, cfg, kv_capacity=1024)
+        e.load_video(feats[i])
+        e.input_query_stream("what now?", video_time=1.2)
+        e.input_video_stream((n_frames - 1) / cfg.frame_fps)  # all at once
+        while True:
+            q, r = e()
+            if r is None:
+                break
+            single_out[i].append((q, r))
+
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=N, kv_capacity=1024,
+                           chunk_frames=4)
+    multi_out = [[] for _ in range(N)]
+    for i in range(N):
+        ms.input_query(i, "what now?", video_time=1.2)
+        ms.input_frames(i, 0.0, feats[i])
+    for _ in range(64):
+        results = ms.step()
+        for i, res in enumerate(results):
+            if res is not None:
+                multi_out[i].append(res)
+        if not ms.pending() and all(r is None for r in results):
+            break
+
+    for i in range(N):
+        assert multi_out[i] == single_out[i], (
+            f"stream {i}:\nmulti={multi_out[i]}\nsingle={single_out[i]}")

@@ -350,9 +350,14 @@ def forward(
                               (params["layers"], layer_lora, kv_xs, layer_rngs))
 
     if logit_gather_positions is not None:
-        # (B,) positions within the chunk (e.g. last *valid* slot of a
-        # bucket-padded append) — avoids the full-vocab lm_head on padding
-        h = h[jnp.arange(h.shape[0]), logit_gather_positions][:, None]
+        # (B,) or (B, G) positions within the chunk (e.g. last *valid* slot
+        # of a bucket-padded append, or every frame-end of a chunked ingest)
+        # — avoids the full-vocab lm_head on padding/non-gate tokens
+        if logit_gather_positions.ndim == 2:
+            h = jnp.take_along_axis(
+                h, logit_gather_positions[..., None], axis=1)
+        else:
+            h = h[jnp.arange(h.shape[0]), logit_gather_positions][:, None]
     elif last_logit_only:
         h = h[:, -1:]
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)

@@ -198,15 +198,17 @@ class LiveInferEngine:
             embeds = jnp.roll(embeds, -(TEXT_BUCKET - first_n), axis=1)
             valid_tokens = first_n + n_frames * fnt + jnp.maximum(
                 n_frames - 1, 0) * itv
-            # gates at each frame's last token (chunk-local indices)
+            # gates at each frame's last token (chunk-local indices); the
+            # lm_head runs only on these K rows, not the whole chunk
             ends = (first_n + fnt - 1
                     + jnp.arange(K, dtype=jnp.int32) * per)
             logits, cache = llama.forward(
                 params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
                 kv_cache=cache, num_valid=valid_tokens[None],
                 lora=params.get("lora"), lora_scaling=scaling,
-                attn_impl=self.attn_impl)
-            rows = logits[0, ends].astype(jnp.float32)       # (K, V)
+                attn_impl=self.attn_impl,
+                logit_gather_positions=ends[None])
+            rows = logits[0].astype(jnp.float32)             # (K, V)
             probs = jax.nn.softmax(rows, axis=-1)
             p_int = probs[:, gate_ref_id]
             masked = jnp.where((p_int < threshold)[:, None],

@@ -33,11 +33,15 @@ TEXT_BUCKET = 4
 PROMPT_BUCKET = 128
 
 
+CHUNK_FRAMES = 8
+
+
 class MultiStreamEngine:
     def __init__(self, params, tokenizer: LiveTokenizer,
                  cfg: Optional[LiveConfig] = None, *, num_streams: int = 8,
                  kv_capacity: int = 8192, frame_fps: Optional[float] = None,
-                 max_new_tokens: Optional[int] = None, attn_impl=None):
+                 max_new_tokens: Optional[int] = None, attn_impl=None,
+                 chunk_frames: int = CHUNK_FRAMES):
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
@@ -47,6 +51,7 @@ class MultiStreamEngine:
         self.fnt = self.cfg.frame_num_tokens
         self.hidden = self.cfg.llama.hidden_size
         self.max_new = max_new_tokens or self.cfg.max_response_tokens
+        self.chunk_frames = max(1, chunk_frames)
         if attn_impl is None:
             from ..ops.auto import auto_attention
             attn_impl = auto_attention
@@ -102,6 +107,70 @@ class MultiStreamEngine:
             fire = jnp.logical_and(active, next_id != gate_id)
             return cache, fire, next_id
 
+        use_interval = interval_id is not None
+        itv = 1 if use_interval else 0
+        per = fnt + itv
+
+        def chunk_step(params, cache, text_ids, n_text, frames, n_frames,
+                       active):
+            """Batched catch-up ingest (same layout as the single-stream
+            ingest_chunk, serve/engine.py): per ACTIVE stream, feed
+            [prepend] f0 , f1 , ... (up to K frames) in ONE forward, gate at
+            every frame's last token, and rewind each stream's ring offset to
+            the end of its first fired frame. frames (N, K, fnt, D),
+            n_frames (N,) in [0, K]. Returns (cache, consumed, fire,
+            next_id) all (N,)-shaped."""
+            K = frames.shape[1]
+            t_emb = llama.embed_tokens(params["llama"], text_ids, cfg.llama)
+            f_emb = frames.astype(t_emb.dtype)          # (N, K, fnt, D)
+            D = t_emb.shape[-1]
+            if use_interval:
+                iv_emb = llama.embed_tokens(
+                    params["llama"], jnp.asarray([[interval_id]], jnp.int32),
+                    cfg.llama)[0]                        # (1, D)
+                unit = jnp.concatenate(
+                    [jnp.broadcast_to(iv_emb[None, None], (N, K, 1, D)),
+                     f_emb], axis=2)                     # (N, K, 1+fnt, D)
+                body = jnp.concatenate(
+                    [f_emb[:, 0], unit[:, 1:].reshape(N, -1, D)], axis=1)
+            else:
+                body = f_emb.reshape(N, -1, D)
+            embeds = jnp.concatenate([t_emb, body], axis=1)
+
+            def roll_one(e, n):
+                return jnp.roll(e, -(TEXT_BUCKET - n), axis=0)
+            embeds = jax.vmap(roll_one)(embeds, n_text)
+            valid = jnp.where(
+                active,
+                n_text + n_frames * fnt + jnp.maximum(n_frames - 1, 0) * itv,
+                0)
+            ends = (n_text[:, None] + fnt - 1
+                    + jnp.arange(K, dtype=jnp.int32)[None] * per)  # (N, K)
+            logits, cache = fwd(params, embeds, cache, valid,
+                                gather_pos=ends)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            p_gate = probs[..., gate_id]                 # (N, K)
+            masked = jnp.where((p_gate < thr)[..., None],
+                               probs.at[..., gate_id].set(0.0), probs)
+            next_ids = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            in_range = jnp.arange(K)[None] < n_frames[:, None]
+            fires = jnp.logical_and(
+                jnp.logical_and(next_ids != gate_id, in_range),
+                active[:, None])
+            any_fire = fires.any(axis=1)
+            first_fire = jnp.argmax(fires, axis=1)       # 0 when none
+            consumed = jnp.where(any_fire, first_fire + 1, n_frames)
+            consumed = jnp.where(active, consumed, 0)
+            consumed_tokens = jnp.where(
+                active,
+                n_text + consumed * fnt + jnp.maximum(consumed - 1, 0) * itv,
+                0)
+            base = cache.offset - valid                  # offsets pre-append
+            cache = cache._replace(offset=base + consumed_tokens)
+            last = jnp.clip(consumed - 1, 0, K - 1)
+            return (cache, consumed, any_fire,
+                    next_ids[jnp.arange(N), last])
+
         def respond(params, cache, prompt_ids, num_valid, active):
             """Batched greedy decode for the ACTIVE streams."""
             p_emb = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
@@ -151,6 +220,7 @@ class MultiStreamEngine:
             return cache
 
         self._frame_step = jax.jit(frame_step, donate_argnums=(1,))
+        self._chunk_step = jax.jit(chunk_step, donate_argnums=(1,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._project = jax.jit(
@@ -206,24 +276,32 @@ class MultiStreamEngine:
                                    jnp.asarray(nv), jnp.asarray(active))
 
     def step(self) -> List[Optional[Tuple[Optional[str], str]]]:
-        """One scheduler tick: feed <=1 frame per stream, gate, respond for
-        fired streams. Returns per-stream (query, response) or None."""
+        """One scheduler tick: feed up to ``chunk_frames`` queued frames per
+        stream in one dispatch (catch-up bursts amortize one weight-streaming
+        pass over the whole chunk, same as the single-stream chunked ingest),
+        gate at every frame, respond for fired streams. Returns per-stream
+        (query, response) or None."""
         self._prefill_starts()
+        K = self.chunk_frames
         text_ids = np.zeros((self.N, TEXT_BUCKET), np.int32)
         n_text = np.zeros((self.N,), np.int32)
-        frames = np.zeros((self.N, self.fnt, self.hidden), np.float32)
+        bursts: List[List[Tuple[float, jnp.ndarray]]] = [[] for _ in range(self.N)]
         active = np.zeros((self.N,), bool)
         frame_times = [None] * self.N
         for i in range(self.N):
             if not self.frame_queues[i] or self._needs_prefill[i]:
                 continue
             # a queued query earlier than the next frame answers first
-            if (self.query_queues[i]
-                    and self.frame_queues[i][0][0] > self.query_queues[i][0][0]):
+            qq = self.query_queues[i]
+            if qq and self.frame_queues[i][0][0] > qq[0][0]:
                 continue
-            t, emb = self.frame_queues[i].popleft()
-            frame_times[i] = t
-            frames[i] = np.asarray(emb, np.float32)
+            qt = qq[0][0] if qq else None
+            for t, emb in self.frame_queues[i]:
+                if len(bursts[i]) >= K or (qt is not None and t > qt):
+                    break
+                bursts[i].append((t, emb))
+            if not bursts[i]:
+                continue
             pre = self.prepends[i][-TEXT_BUCKET:]
             if pre:
                 text_ids[i, TEXT_BUCKET - len(pre):] = pre
@@ -231,30 +309,83 @@ class MultiStreamEngine:
             self.prepends[i] = []
             active[i] = True
 
+        max_burst = max((len(b) for b in bursts), default=0)
+        itv = 1 if self.cfg.frame_token_interval_id is not None else 0
+        if active.any():
+            # capacity guard: the chunk write is a full static-size slab per
+            # stream; an overflow would silently clamp the ring write
+            write_len = (TEXT_BUCKET + self.fnt if max_burst <= 1 else
+                         TEXT_BUCKET + K * self.fnt + (K - 1) * itv)
+            offsets = np.asarray(self.cache.offset)
+            for i in range(self.N):
+                if active[i] and (int(offsets[i]) + write_len + PROMPT_BUCKET
+                                  + self.max_new) > self.kv_capacity:
+                    raise RuntimeError(
+                        f"stream {i}: KV ring capacity {self.kv_capacity} "
+                        f"would be exceeded (offset {int(offsets[i])})")
+
         fire = np.zeros((self.N,), bool)
         next_id = np.zeros((self.N,), np.int32)
+        consumed = np.zeros((self.N,), np.int64)
         if active.any():
-            self.cache, fire_d, next_d = self._frame_step(
-                self.params, self.cache, jnp.asarray(text_ids),
-                jnp.asarray(n_text), jnp.asarray(frames), jnp.asarray(active))
+            if max_burst <= 1:
+                frames = np.zeros((self.N, self.fnt, self.hidden), np.float32)
+                for i in range(self.N):
+                    if active[i]:
+                        frames[i] = np.asarray(bursts[i][0][1], np.float32)
+                self.cache, fire_d, next_d = self._frame_step(
+                    self.params, self.cache, jnp.asarray(text_ids),
+                    jnp.asarray(n_text), jnp.asarray(frames),
+                    jnp.asarray(active))
+                consumed = active.astype(np.int64)
+            else:
+                frames = np.zeros((self.N, K, self.fnt, self.hidden),
+                                  np.float32)
+                n_frames = np.zeros((self.N,), np.int32)
+                for i in range(self.N):
+                    for j, (_, emb) in enumerate(bursts[i]):
+                        frames[i, j] = np.asarray(emb, np.float32)
+                    n_frames[i] = len(bursts[i])
+                self.cache, consumed_d, fire_d, next_d = self._chunk_step(
+                    self.params, self.cache, jnp.asarray(text_ids),
+                    jnp.asarray(n_text), jnp.asarray(frames),
+                    jnp.asarray(n_frames), jnp.asarray(active))
+                consumed = np.asarray(consumed_d)
             fire = np.asarray(fire_d)
             next_id = np.asarray(next_d)
+
+        # pop consumed frames; record each stream's last processed time
+        for i in range(self.N):
+            c = int(consumed[i])
+            for _ in range(c):
+                self.frame_queues[i].popleft()
+            if c:
+                frame_times[i] = bursts[i][c - 1][0]
 
         # bookkeeping + response scheduling
         respond_mask = np.zeros((self.N,), bool)
         respond_query: List[Optional[Tuple[float, str]]] = [None] * self.N
         for i in range(self.N):
-            if active[i] and not fire[i]:
+            if active[i] and consumed[i] and not fire[i]:
                 if self.cfg.frame_token_interval_id is not None:
                     self.prepends[i] = [int(next_id[i])]
             if fire[i]:
+                # a query at the fired frame's timestamp outranks the gate
+                # (reference checks the query before the gate per frame)
+                qq = self.query_queues[i]
+                if qq and frame_times[i] is not None \
+                        and frame_times[i] >= qq[0][0]:
+                    respond_query[i] = qq.popleft()
                 respond_mask[i] = True
                 self.prepends[i] = []
             # answer a query once the stream has caught up to it: either the
             # frame just processed reaches the query time, or the next queued
-            # frame is strictly later (reference inference.py:57-59,72-74)
+            # frame is strictly later (reference inference.py:57-59,72-74).
+            # Fired streams already responded this tick — their query (if
+            # any) waits for the next tick, like the single-stream engine's
+            # immediate return on fire.
             qq = self.query_queues[i]
-            if qq and not self._needs_prefill[i] and (
+            if not fire[i] and qq and not self._needs_prefill[i] and (
                     (frame_times[i] is not None and frame_times[i] >= qq[0][0])
                     or (self.frame_queues[i]
                         and self.frame_queues[i][0][0] > qq[0][0])):
