@@ -1,9 +1,11 @@
-"""Benchmark: sustained streaming frame-ingestion FPS on real hardware.
+"""Benchmark: streaming serving FPS on real hardware.
 
-Measures the serving hot loop of the reference (demo/inference.py
-_call_for_streaming: one decoder forward per frame appending
-interval+frame tokens to the KV cache, then the response-gate readout)
-re-architected as a static-shape jitted step.
+Default mode drives the PUBLIC LiveInferEngine loop end-to-end — queues,
+per-burst host readbacks, the 0.725 response gate, and actual response
+generation — i.e. the same control flow the reference measures as "Average
+Processing FPS" (demo/cli.py:33-39). The gate reference token is calibrated
+to the random model's favourite continuation so the gate mostly holds and
+occasionally fires, like a trained checkpoint emitting ','.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference reports 10-15 FPS streaming on an A100 for the 8B
@@ -11,13 +13,14 @@ model (README.md:13); vs_baseline uses the 12.5 midpoint.
 
 Env knobs:
   BENCH_MODEL  = tiny | 1b | 3b | 8b   (default: 8b; 8b implies int8 weights)
-  BENCH_MODE   = chunk | frame         (default: chunk — the engine's
-                 chunked-ingest step, 8 frames per dispatch, which is how
-                 sustained load is actually served; 'frame' measures the
-                 one-frame-per-dispatch real-time path)
+  BENCH_MODE   = engine | chunk | frame  (default: engine — the public
+                 engine() loop; 'chunk' is the peak-ingest upper bound of
+                 the raw chunked step, 'frame' the one-frame-per-dispatch
+                 kernel path)
   BENCH_QUANT  = 1 | int8              (weight-only int8 for other sizes)
   BENCH_FRAMES = number of frames to stream (default: 256)
-  BENCH_CTX    = KV capacity           (default: 8192)
+  BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
+                 itself from BENCH_FRAMES if larger)
 """
 
 import functools
@@ -106,8 +109,82 @@ def main():
         key, (cfg.frame_num_tokens, D), jnp.bfloat16)
     interval_id = jnp.asarray(cfg.frame_token_interval_id, jnp.int32)
 
-    mode = os.environ.get("BENCH_MODE", "chunk")
-    if mode == "chunk":
+    mode = os.environ.get("BENCH_MODE", "engine")
+    if mode == "engine":
+        import sys
+        from videollm_online_tpu.serve.engine import LiveInferEngine
+
+        # Random weights can't reproduce a trained model's gate statistics
+        # (they argmax context-sensitively, so the gate fires every frame).
+        # The realistic profile is pinned via the gate_logit_bias serving
+        # knob: +30 makes the gate token dominant (a trained model emitting
+        # ',' with high confidence — gate softmax/threshold still evaluated
+        # every frame), and a query every BENCH_QUERY_EVERY frames (default
+        # 16 = one full response per 8 s of 2fps video, the reference demo's
+        # narration density) drives responses. The loop pays every
+        # public-engine cost: queues, bucketed prompt prefills, the
+        # per-burst consumed/fire/next_id host readback, and 100-token
+        # greedy responses.
+        # Response workload: random weights never emit EOS, so the budget IS
+        # the response length. A trained checkpoint's narration responses
+        # run ~10-25 tokens every few seconds of video (reference demo
+        # transcripts); defaults pin that profile — one 20-token response
+        # per 8 frames (4 s at 2fps).
+        threshold = float(os.environ.get("BENCH_THRESHOLD", "0.725"))
+        query_every = int(os.environ.get("BENCH_QUERY_EVERY", "8"))
+        resp_tokens = int(os.environ.get("BENCH_RESPONSE_TOKENS", "20"))
+        cfg = cfg.replace(frame_token_interval_threshold=threshold,
+                          max_response_tokens=resp_tokens,
+                          gate_logit_bias=float(
+                              os.environ.get("BENCH_GATE_BIAS", "30.0")))
+
+        vision_hidden = cfg.vision_hidden_size
+        rng = np.random.RandomState(0)
+        feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                          vision_hidden).astype(np.float32)
+        capacity = max(capacity,
+                       (4 + cfg.frame_num_tokens) * (n_frames + 8)
+                       + (n_frames // max(query_every, 1) + 2)
+                       * (256 + cfg.max_response_tokens) + 2048)
+        engine = LiveInferEngine(params, tok, cfg, kv_capacity=capacity)
+
+        # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
+        # catch-up/throughput profile: one host sync per chunked dispatch);
+        # 'realtime' feeds one frame per tick like demo/cli.py — through the
+        # axon TUNNEL each per-burst readback costs a ~50-100 ms WAN RTT that
+        # a colocated host would not pay, so realtime here is a lower bound.
+        pacing = os.environ.get("BENCH_PACING", "sustained")
+        feed_every = 8 if pacing == "sustained" else 1
+
+        def run(ticks):
+            engine.reset()
+            engine.load_video(feats)
+            responses = 0
+            for i in range(ticks):
+                if i % query_every == 0:
+                    engine.input_query_stream(
+                        "Please narrate the video in real time.",
+                        video_time=i / cfg.frame_fps)
+                if i % feed_every == feed_every - 1 or i == ticks - 1:
+                    engine.input_video_stream(i / cfg.frame_fps)
+                while True:
+                    q, r = engine()
+                    if r is None:
+                        break
+                    responses += 1
+            # host scalar readback = reliable fence on the axon tunnel
+            return responses, int(engine.cache.offset[0])
+
+        run(min(24, n_frames))  # warmup: compiles prefill/burst/chunk/respond
+        t0 = time.perf_counter()
+        responses, offset = run(n_frames)
+        dt = time.perf_counter() - t0
+        fps = n_frames / dt
+        print(f"engine mode ({pacing}): {n_frames} frames, {responses} "
+              f"responses, final kv offset {offset}, {dt:.2f}s",
+              file=sys.stderr)
+        metric = f"streaming_engine_fps_{size}"
+    elif mode == "chunk":
         # sustained-load path: the serving engine batches queued frames into
         # 8-frame chunk steps (serve/engine.py ingest_chunk) — one weight
         # pass amortizes over the chunk

@@ -132,6 +132,12 @@ class LiveConfig:
     # serving
     frame_token_interval_threshold: float = 0.725  # reference demo/inference.py:31
     max_response_tokens: int = 100  # reference demo/inference.py:30
+    # additive logit bias on the gate (interval) token before the softmax in
+    # the serving gate — a runtime response-rate control complementary to the
+    # threshold (0.0 = exact reference behavior). Positive values make the
+    # model hold (emit ','), negative make it respond more eagerly; also the
+    # lever benchmarks use to pin a response schedule under random weights.
+    gate_logit_bias: float = 0.0
 
     system_prompt: str = (
         "A multimodal AI assistant is helping users with some activities."

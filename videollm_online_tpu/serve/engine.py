@@ -115,8 +115,13 @@ class LiveInferEngine:
             _, cache = fwd(params, embeds, cache, num_valid)
             return cache
 
+        gate_bias = cfg.gate_logit_bias
+
         def gate(logits_row, threshold):
-            probs = jax.nn.softmax(logits_row.astype(jnp.float32))
+            logits_row = logits_row.astype(jnp.float32)
+            if gate_bias:
+                logits_row = logits_row.at[gate_ref_id].add(gate_bias)
+            probs = jax.nn.softmax(logits_row)
             p_int = probs[gate_ref_id]
             masked = jnp.where(p_int < threshold, probs.at[gate_ref_id].set(0.0),
                                probs)
@@ -209,6 +214,8 @@ class LiveInferEngine:
                 attn_impl=self.attn_impl,
                 logit_gather_positions=ends[None])
             rows = logits[0].astype(jnp.float32)             # (K, V)
+            if gate_bias:
+                rows = rows.at[:, gate_ref_id].add(gate_bias)
             probs = jax.nn.softmax(rows, axis=-1)
             p_int = probs[:, gate_ref_id]
             masked = jnp.where((p_int < threshold)[:, None],

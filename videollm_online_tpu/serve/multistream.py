@@ -74,6 +74,7 @@ class MultiStreamEngine:
         interval_id = cfg.frame_token_interval_id
         gate_id = interval_id if interval_id is not None else cfg.eos_token_id
         thr = cfg.frame_token_interval_threshold
+        gate_bias = cfg.gate_logit_bias
         fnt, N = self.fnt, self.N
         max_new = self.max_new
         eos = cfg.eos_token_id
@@ -99,7 +100,10 @@ class MultiStreamEngine:
             num_valid = jnp.where(active, n_text + fnt, 0)
             gather = jnp.clip(num_valid - 1, 0, None)
             logits, cache = fwd(params, embeds, cache, num_valid, gather)
-            probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+            rows = logits[:, 0].astype(jnp.float32)
+            if gate_bias:
+                rows = rows.at[:, gate_id].add(gate_bias)
+            probs = jax.nn.softmax(rows, axis=-1)
             p_gate = probs[:, gate_id]
             masked = jnp.where((p_gate < thr)[:, None],
                                probs.at[:, gate_id].set(0.0), probs)
@@ -148,7 +152,10 @@ class MultiStreamEngine:
                     + jnp.arange(K, dtype=jnp.int32)[None] * per)  # (N, K)
             logits, cache = fwd(params, embeds, cache, valid,
                                 gather_pos=ends)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            rows = logits.astype(jnp.float32)
+            if gate_bias:
+                rows = rows.at[..., gate_id].add(gate_bias)
+            probs = jax.nn.softmax(rows, axis=-1)
             p_gate = probs[..., gate_id]                 # (N, K)
             masked = jnp.where((p_gate < thr)[..., None],
                                probs.at[..., gate_id].set(0.0), probs)
