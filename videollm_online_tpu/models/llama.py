@@ -216,9 +216,19 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
     return jnp.einsum("bhsc,bhcd->bhsd", probs, v)
 
 
-def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
+def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
            lora_scaling, attn_impl, layer_rng=None, lora_dropout=0.0):
-    """One transformer block. kv_slice: (k_l, v_l, write_offset) or None."""
+    """One transformer block.
+
+    kv_ctx: (k_all, v_all, offset, layer_idx) with the FULL stacked cache
+    (L, B, Hkv, C, hd) threaded through the layer scan's carry, or None.
+    Writes are per-batch dynamic_update_slices into this layer's ring (XLA
+    keeps carry updates in place); attention either reads blocks straight
+    from the stacked cache (attn_impl.layered — O(valid) HBM traffic) or
+    falls back to slicing out this layer's ring. Round-2 fix: the previous
+    design returned per-layer rings as scan OUTPUTS, which stacked a full
+    COPY of the entire cache every forward — +13 ms/token at 15k capacity
+    on 8B."""
     B, S, D = h.shape
     Hq, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -248,19 +258,27 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_slice, cfg,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if kv_slice is not None:
-        k_cache, v_cache, offset = kv_slice  # (B, Hkv, C, hd), (B,)
-
-        def write(cache, new):
-            def one(c, n, off):
-                return jax.lax.dynamic_update_slice(c, n, (0, off, 0))
-            return jax.vmap(one)(cache, new, offset)
-
-        k_cache = write(k_cache, k)
-        v_cache = write(v_cache, v)
-        attn_out = attn_impl(q, k_cache, v_cache, q_pos, None,
-                             num_groups=Hq // Hkv)
-        new_kv = (k_cache, v_cache)
+    if kv_ctx is not None:
+        k_all, v_all, offset, l_idx = kv_ctx  # (L, B, Hkv, C, hd), (B,), ()
+        # per-batch in-place append at each stream's offset (B is static
+        # and small; unrolled scalar-start updates alias the scan carry)
+        for b in range(B):
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[b][None, None], (l_idx, b, 0, offset[b], 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[b][None, None], (l_idx, b, 0, offset[b], 0))
+        layered = getattr(attn_impl, "layered", None)
+        if layered is not None:
+            attn_out = layered(q, k_all, v_all, q_pos, l_idx,
+                               num_groups=Hq // Hkv)
+        else:
+            k_l = jax.lax.dynamic_index_in_dim(k_all, l_idx, 0,
+                                               keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(v_all, l_idx, 0,
+                                               keepdims=False)
+            attn_out = attn_impl(q, k_l, v_l, q_pos, None,
+                                 num_groups=Hq // Hkv)
+        new_kv = (k_all, v_all)
     else:
         attn_out = attn_impl(q, k, v, q_pos, None, num_groups=Hq // Hkv)
         new_kv = None
@@ -330,24 +348,40 @@ def forward(
         layer_rngs = jnp.zeros((cfg.num_layers, 0))
         head_rng = None
 
-    def body(h, xs):
-        layer_params, layer_lora_x, kv_l, rng_l = xs
-        kv_slice = None
-        if kv_cache is not None:
-            kv_slice = (kv_l[0], kv_l[1], kv_cache.offset)
-        h, new_kv = _layer(h, layer_params, layer_lora_x, cos, sin, positions,
-                           kv_slice, cfg, lora_scaling, attn_impl,
-                           layer_rng=rng_l if use_dropout else None,
-                           lora_dropout=lora_dropout if use_dropout else 0.0)
-        return h, new_kv
+    if kv_cache is not None:
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
-    if remat:
-        body = jax.checkpoint(body)
+        def body_kv(carry, xs):
+            h, k_all, v_all = carry
+            layer_params, layer_lora_x, rng_l, l_idx = xs
+            h, (k_all, v_all) = _layer(
+                h, layer_params, layer_lora_x, cos, sin, positions,
+                (k_all, v_all, kv_cache.offset, l_idx), cfg, lora_scaling,
+                attn_impl,
+                layer_rng=rng_l if use_dropout else None,
+                lora_dropout=lora_dropout if use_dropout else 0.0)
+            return (h, k_all, v_all), None
 
-    kv_xs = (kv_cache.k, kv_cache.v) if kv_cache is not None else (
-        jnp.zeros((cfg.num_layers, 0)), jnp.zeros((cfg.num_layers, 0)))
-    h, new_kvs = jax.lax.scan(body, h,
-                              (params["layers"], layer_lora, kv_xs, layer_rngs))
+        if remat:
+            body_kv = jax.checkpoint(body_kv)
+        (h, new_k, new_v), _ = jax.lax.scan(
+            body_kv, (h, kv_cache.k, kv_cache.v),
+            (params["layers"], layer_lora, layer_rngs, layer_ids))
+        new_kvs = (new_k, new_v)
+    else:
+        def body(h, xs):
+            layer_params, layer_lora_x, rng_l = xs
+            h, _ = _layer(h, layer_params, layer_lora_x, cos, sin, positions,
+                          None, cfg, lora_scaling, attn_impl,
+                          layer_rng=rng_l if use_dropout else None,
+                          lora_dropout=lora_dropout if use_dropout else 0.0)
+            return h, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        h, _ = jax.lax.scan(body, h,
+                            (params["layers"], layer_lora, layer_rngs))
+        new_kvs = None
 
     if logit_gather_positions is not None:
         # (B,) or (B, G) positions within the chunk (e.g. last *valid* slot

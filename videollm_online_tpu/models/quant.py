@@ -41,12 +41,18 @@ def dequantize_weight(qw: Dict[str, jax.Array], axis: int = 0,
 
 
 def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
-    """x (.., in) @ q8 (in, out) * scale (out,) in x.dtype.
+    """x (.., in) @ q8 (in, out) * scale (out,) in x.dtype — XLA path.
 
-    Measured on v5e: XLA's fused convert-matmul streams the int8 weights at
-    ~371 GB/s effective with no HBM bf16 temporaries — faster than our
-    Pallas dequant kernel (~280 GB/s; ops/quant_matmul.py remains available
-    as an opt-in for future tuning), so this stays on the XLA path."""
+    SETTLED (round 2, v5e, RTT-corrected measurements): XLA's fused
+    convert-matmul streams int8 weights at ~700-770 GB/s effective (round
+    1's "371 GB/s" was a tunnel-latency artifact). A tuned Pallas dequant
+    kernel beat it in STANDALONE microbenchmarks (885 vs 700 GB/s at
+    4096x4096 with >=2KB DMA row segments) but LOST the full decode step by
+    +4.9 ms/token (19.5 vs 14.6): each pallas_call is a fusion barrier that
+    forfeits XLA's cross-op weight-prefetch overlap, ~22 us x 224 calls per
+    token. A per-matmul kernel cannot win the decode path; the winning shape
+    would be one fused whole-layer kernel. The kernel was deleted (see git
+    history / BENCH_NOTES.md)."""
     w = qw[QUANT_KEY].astype(x.dtype)
     y = x @ w
     return y * qw["scale"].astype(x.dtype)

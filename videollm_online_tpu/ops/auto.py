@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import jax
 
-from .decode_attention import ring_decode_attention
+from .decode_attention import (ring_decode_attention,
+                               ring_decode_attention_layered)
 from .flash_attention import flash_attention
 
 MAX_DECODE_CHUNK = 64
@@ -36,6 +37,23 @@ def auto_attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
         return ring_decode_attention(q, k, v, q_pos)
     return xla_attention(q, k, v, q_pos, kv_valid_upto,
                          num_groups=num_groups)
+
+
+def _auto_layered(q, k_all, v_all, q_pos, layer, *, num_groups):
+    """Cache-resident attention: reads kv blocks straight from the stacked
+    (L, B, Hkv, C, d) ring at ``layer`` — no per-layer slice materialization
+    (O(valid) HBM traffic instead of O(capacity), see decode_attention)."""
+    B, Hq, T, d = q.shape
+    if (jax.default_backend() == "tpu" and T <= MAX_DECODE_CHUNK
+            and d in (64, 128, 256)):
+        return ring_decode_attention_layered(q, k_all, v_all, q_pos, layer)
+    from ..models.llama import _attention as xla_attention
+    k_l = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
+    return xla_attention(q, k_l, v_l, q_pos, None, num_groups=num_groups)
+
+
+auto_attention.layered = _auto_layered
 
 
 def resolve_attn_impl(name: str):

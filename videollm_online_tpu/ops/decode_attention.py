@@ -120,6 +120,105 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
     return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
 
 
+def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
+                                  block_k: int = DEFAULT_BLOCK_K,
+                                  interpret: bool = None):
+    """Same as :func:`ring_decode_attention` but reads kv blocks DIRECTLY
+    from the full stacked cache (L, B, Hkv, C, d) at a traced ``layer``
+    index. Inside the decoder's layer scan this avoids materializing a
+    (B, Hkv, C, d) per-layer slice: Pallas only DMAs the valid blocks of the
+    addressed layer, so HBM traffic is O(valid), not O(capacity).
+
+    q: (B, Hq, S, d); q_pos: (B, S); layer: int32 scalar.
+    """
+    B, Hq, S, d = q.shape
+    L, _, Hkv, C, _ = k_all.shape
+    G = Hq // Hkv
+    rows = G * S
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    qg = q.reshape(B, Hkv, G, S, d).reshape(B, Hkv, rows, d)
+    qpos_rows = jnp.tile(q_pos, (1, G))
+
+    max_pos = jnp.max(q_pos, axis=1)
+    nb = jnp.minimum(max_pos // block_k + 1,
+                     pl.cdiv(C, block_k)).astype(jnp.int32)
+    # one scalar-prefetch vector: [layer, nb_0, ..., nb_{B-1}]
+    meta = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), nb], axis=0)
+
+    def kv_map(b, h, ki, meta):
+        return (meta[0], b, h, jnp.minimum(ki, meta[1 + b] - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, pl.cdiv(C, block_k)),
+        in_specs=[
+            pl.BlockSpec((1, rows), lambda b, h, ki, meta: (b, 0)),
+            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, d),
+                               lambda b, h, ki, meta: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, d), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_layered, block_k=block_k, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
+        interpret=interpret,
+    )(meta, qpos_rows, qg, k_all, v_all)
+    return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
+
+
+def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
+                    acc_ref, m_ref, l_ref, *, block_k, rows):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(ki < meta_ref[1 + b])
+    def _compute():
+        q = q_ref[0, 0]                              # (rows, d)
+        k = k_ref[0, 0, 0]                           # (bk, d)
+        scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+        qpos = qpos_ref[0].astype(jnp.int32)[:, None]
+        mask = (ki * block_k + cols) <= qpos
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
 def decode_attention_adapter(q, k, v, q_pos, kv_valid_upto, *, num_groups):
     """Drop-in for models.llama._attention on the serving path."""
     return ring_decode_attention(q, k, v, q_pos)

@@ -165,7 +165,11 @@ class LiveInferEngine:
             i, cache, fire, next_id = jax.lax.while_loop(
                 cond, body, (jnp.asarray(0, jnp.int32), cache,
                              jnp.asarray(False), jnp.asarray(0, jnp.int32)))
-            return cache, i, fire, next_id
+            # ONE packed int32 readback (consumed, fire, next_id, offset):
+            # through the tunnel every host readback is a full RTT
+            packed = jnp.stack([i, fire.astype(jnp.int32), next_id,
+                                cache.offset[0]])
+            return cache, packed
 
         def ingest_chunk(params, cache, first_text, first_n, frames, n_frames,
                          threshold):
@@ -232,14 +236,22 @@ class LiveInferEngine:
             base = cache.offset - valid_tokens  # offset before this append
             cache = cache._replace(offset=base + consumed_tokens)
             last_idx = jnp.clip(consumed - 1, 0, K - 1)
-            return cache, consumed, any_fire, next_ids[last_idx]
+            packed = jnp.stack([consumed, any_fire.astype(jnp.int32),
+                                next_ids[last_idx], cache.offset[0]])
+            return cache, packed
 
         def respond(params, cache, prompt_ids, num_valid):
             embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
             embeds = _pack_valid_first(embeds, prompt_ids.shape[1], num_valid)
-            return gen_mod.greedy_generate(
+            out_ids, length, cache = gen_mod.greedy_generate(
                 params, cfg, cache, embeds, num_valid,
                 attn_impl=self.attn_impl)
+            # single packed readback: [length, new_offset, token ids...]
+            packed = jnp.concatenate([
+                length.reshape(1).astype(jnp.int32),
+                cache.offset[:1].astype(jnp.int32),
+                out_ids[0].astype(jnp.int32)])
+            return packed, cache
 
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
@@ -288,6 +300,10 @@ class LiveInferEngine:
         self.cache = llama.init_kv_cache(
             self.cfg.llama, batch=1, capacity=self.kv_capacity,
             dtype=jnp.dtype(self.cfg.llama.dtype))
+        # host mirror of cache.offset[0]: guards consult it without a
+        # device readback (every readback is a tunnel RTT); kept exact from
+        # the packed results of each dispatch
+        self._host_offset = 0
         self._started = False
         # pending text prepend (token ids) to feed before the next frame
         self._pending_prepend: List[int] = []
@@ -388,13 +404,13 @@ class LiveInferEngine:
             # may follow (']\nAssistant:' bucket + generation); query-prompt
             # turns (buckets up to 256) are guarded in _respond_at with the
             # actual bucket, since their paths can bypass this guard.
-            worst = (int(self.cache.offset[0]) + len(burst_times)
+            worst = (self._host_offset + len(burst_times)
                      * (TEXT_BUCKET + self.frame_num_tokens)
                      + self._gen_prompt_bucket + self.cfg.max_response_tokens)
             if worst > self.kv_capacity:
                 raise RuntimeError(
                     f"KV ring capacity {self.kv_capacity} would be exceeded "
-                    f"(offset {int(self.cache.offset[0])}); raise "
+                    f"(offset {self._host_offset}); raise "
                     f"kv_capacity or reset() the stream")
             first_text, first_n = self._take_prepend()
             thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
@@ -405,12 +421,14 @@ class LiveInferEngine:
                     burst_embeds, first_text, first_n, thr)
             else:
                 frames = jnp.stack(burst_embeds)
-                self.cache, consumed, fire, next_id = self._ingest(
+                self.cache, packed = self._ingest(
                     self.params, self.cache, first_text, first_n, frames,
                     jnp.asarray(n_burst, jnp.int32), thr)
-                consumed = int(consumed)
-                fire = bool(fire)
-                next_id = int(next_id)
+                packed = np.asarray(packed)  # ONE readback
+                consumed = int(packed[0])
+                fire = bool(packed[1])
+                next_id = int(packed[2])
+                self._host_offset = int(packed[3])
             for _ in range(consumed):
                 self.frame_embeds_queue.popleft()
             if consumed:
@@ -456,12 +474,14 @@ class LiveInferEngine:
                                + [group[-1]] * (CHUNK_FRAMES - k))
             text = first_text if i == 0 else jnp.asarray(cont_text)
             ntext = first_n if i == 0 else jnp.asarray(cont_n, jnp.int32)
-            self.cache, consumed, any_fire, nid = self._ingest_chunk(
+            self.cache, packed = self._ingest_chunk(
                 self.params, self.cache, text, ntext, frames,
                 jnp.asarray(k, jnp.int32), thr)
-            consumed = int(consumed)
-            fire = bool(any_fire)
-            next_id = int(nid)
+            packed = np.asarray(packed)  # ONE readback per chunk
+            consumed = int(packed[0])
+            fire = bool(packed[1])
+            next_id = int(packed[2])
+            self._host_offset = int(packed[3])
             total_consumed += consumed
             i += consumed
         return total_consumed, fire, next_id
@@ -490,6 +510,7 @@ class LiveInferEngine:
         buf[0, bucket - n:] = ids
         self.cache = self._prefill(self.params, self.cache, jnp.asarray(buf),
                                    jnp.asarray([n], jnp.int32))
+        self._host_offset += n
 
     # -- reference _call_for_response (demo/inference.py:40-52)
     def _respond_at(self, video_time, query):
@@ -508,19 +529,20 @@ class LiveInferEngine:
         # capacity guard for the response turn itself: the query-before-frame
         # paths reach here without passing the burst guard, and an unchecked
         # overflow would silently clamp the ring write (cache corruption)
-        worst = (int(self.cache.offset[0]) + bucket
-                 + self.cfg.max_response_tokens)
+        worst = self._host_offset + bucket + self.cfg.max_response_tokens
         if worst > self.kv_capacity:
             raise RuntimeError(
                 f"KV ring capacity {self.kv_capacity} would be exceeded by "
-                f"the response turn (offset {int(self.cache.offset[0])}, "
+                f"the response turn (offset {self._host_offset}, "
                 f"prompt bucket {bucket}); raise kv_capacity or reset()")
         buf = np.zeros((1, bucket), np.int32)
         buf[0, bucket - n:] = prompt
-        out_ids, length, self.cache = self._respond(
+        packed, self.cache = self._respond(
             self.params, self.cache, jnp.asarray(buf),
             jnp.asarray([n], jnp.int32))
-        out = np.asarray(out_ids)[0, :int(length[0])]
+        packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
+        self._host_offset = int(packed[1])
+        out = packed[2:2 + int(packed[0])]
         # last token (EOS) is fed with the next frame (inference.py:64-66)
         if out.size and out[-1] == self.cfg.eos_token_id:
             self._pending_prepend = [int(out[-1])] + list(self._stream_prompt_ids)
