@@ -71,3 +71,54 @@ def test_capacity_guard_raises():
     with pytest.raises(RuntimeError, match="capacity"):
         for _ in range(16):
             engine()
+
+
+def test_stream_window_compaction_matches_uncompacted():
+    """Infinite-stream mode (VERDICT r1 item 6): an engine with a small ring
+    + stream_window must produce transcripts EXACTLY equal to an engine with
+    a huge ring and the same window — compaction shifts the retained window
+    to the ring front with pos_base keeping absolute positions (RoPE)
+    intact, and windowed attention sees identical content either way."""
+    import numpy as np
+    import jax
+    from videollm_online_tpu.core.config import tiny_live_config
+    from videollm_online_tpu.models import live
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+    from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+    from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(frame_token_interval_threshold=0.725,
+                          max_response_tokens=12)
+    params = live.init_params(jax.random.PRNGKey(5), cfg)
+    W = 64
+    n_frames = 48  # 48*(4+10) tokens + responses >> the small ring
+
+    feats = np.random.RandomState(3).randn(
+        n_frames, cfg.frame_num_tokens,
+        cfg.vision_hidden_size).astype(np.float32)
+
+    def run(capacity):
+        eng = LiveInferEngine(params, tok, cfg, kv_capacity=capacity,
+                              stream_window=W)
+        eng.load_video(feats)
+        eng.input_query_stream("what is happening?", video_time=4.0)
+        out = []
+        for i in range(n_frames):
+            eng.input_video_stream(i / eng.frame_fps)
+            while True:
+                q, r = eng()
+                if r is None:
+                    break
+                out.append((q, r))
+        return out, eng
+
+    big_out, big_eng = run(8192)          # never compacts
+    small_out, small_eng = run(640)       # must compact repeatedly
+    assert int(np.asarray(big_eng.cache.pos_base)[0]) == 0
+    assert int(np.asarray(small_eng.cache.pos_base)[0]) > 0, \
+        "compaction never triggered — test is vacuous"
+    assert small_eng._host_offset <= 640
+    assert small_out == big_out
+    assert len(small_out) > 0

@@ -82,7 +82,8 @@ class BeamSearcher:
         def step(params, tokens, cache, parents):
             # reorder the ring along the beam axis, then append one token
             cache = llama.KVCache(k=cache.k[:, parents], v=cache.v[:, parents],
-                                  offset=cache.offset[parents])
+                                  offset=cache.offset[parents],
+                                  pos_base=cache.pos_base[parents])
             embeds = llama.embed_tokens(params["llama"], tokens[:, None],
                                         cfg.llama)
             logits, cache = llama.forward(

@@ -209,7 +209,8 @@ class StreamEvaluator:
         append_frames = np.asarray(frames)[start_frame:start_frame + to_append]
         # copy so later turns still see the original ring contents
         roll_cache = llama.KVCache(k=jnp.copy(cache.k), v=jnp.copy(cache.v),
-                                   offset=jnp.full_like(cache.offset, trim_to))
+                                   offset=jnp.full_like(cache.offset, trim_to),
+                                   pos_base=cache.pos_base)
         argmax, argmax_excl, p_int = self._roll(
             self.params, roll_cache, jnp.asarray(append_ids),
             jnp.asarray(append_frames))

@@ -152,7 +152,13 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 class KVCache(NamedTuple):
     """Static-shape KV ring: k/v (L, B, Hkv, C, hd), offset (B,) int32.
 
-    ``offset[b]`` = number of valid tokens already written for stream ``b``.
+    ``offset[b]`` = number of valid SLOTS already written for stream ``b``.
+    ``pos_base[b]`` = absolute position of slot 0 (0 until a compaction
+    shifts the retained window to the front — then slot j holds absolute
+    position ``pos_base + j`` and the next token's absolute position is
+    ``pos_base + offset``). RoPE always uses absolute positions; attention
+    masks use slot-relative positions (``abs - pos_base``).
+
     Appends pack valid tokens first; bucket padding is written past the end
     and overwritten by the next append (never attended: the causal mask is
     ``slot <= q_position`` and padding slots sit after every valid query).
@@ -160,6 +166,7 @@ class KVCache(NamedTuple):
     k: jax.Array
     v: jax.Array
     offset: jax.Array
+    pos_base: jax.Array
 
     @property
     def capacity(self) -> int:
@@ -174,7 +181,28 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         offset=jnp.zeros((batch,), jnp.int32),
+        pos_base=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def compact_kv_cache(cache: KVCache, keep: jax.Array) -> KVCache:
+    """Shift each stream's newest ``keep`` slots to the front of the ring and
+    advance ``pos_base`` so absolute positions are unchanged — the stored
+    K/V vectors are position-encoded at write time, so the move is a pure
+    copy. Evicts everything older; callers must ensure the attention window
+    (sliding_window) fits inside ``keep`` for exact-window semantics.
+    ``keep``: (B,) or scalar int32."""
+    B = cache.k.shape[1]
+    keep = jnp.broadcast_to(jnp.asarray(keep, jnp.int32), (B,))
+    keep = jnp.minimum(keep, cache.offset)
+    shift = cache.offset - keep  # slots dropped from the front
+
+    def roll_stream(kb, s):  # kb: (L, Hkv, C, hd)
+        return jnp.roll(kb, -s, axis=2)
+
+    k = jax.vmap(roll_stream, in_axes=(1, 0), out_axes=1)(cache.k, shift)
+    v = jax.vmap(roll_stream, in_axes=(1, 0), out_axes=1)(cache.v, shift)
+    return KVCache(k=k, v=v, offset=keep, pos_base=cache.pos_base + shift)
 
 
 def trim_kv_cache(cache: KVCache, new_offset: jax.Array) -> KVCache:
@@ -214,6 +242,21 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhsc,bhcd->bhsd", probs, v)
+
+
+def _windowed(impl, window: int):
+    """Bind a sliding window into an attention impl, preserving its
+    cache-resident ``.layered`` variant if present."""
+    def wrapped(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+        return impl(q, k, v, q_pos, kv_valid_upto, num_groups=num_groups,
+                    sliding_window=window)
+    layered = getattr(impl, "layered", None)
+    if layered is not None:
+        def wrapped_layered(q, k_all, v_all, q_pos, layer, *, num_groups):
+            return layered(q, k_all, v_all, q_pos, layer,
+                           num_groups=num_groups, sliding_window=window)
+        wrapped.layered = wrapped_layered
+    return wrapped
 
 
 def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
@@ -319,22 +362,27 @@ def forward(
     (``num_valid`` (B,) of the S tokens are real; the rest is bucket padding)
     and attends over the whole ring. Returns (logits, updated cache).
     """
+    attn_impl = attn_impl or _attention
     if cfg.sliding_window is not None:
-        # windowed attention (Mistral family) runs the XLA path for now —
-        # the Pallas kernels implement full-causal masks only
-        attn_impl = functools.partial(_attention,
-                                      sliding_window=cfg.sliding_window)
-    else:
-        attn_impl = attn_impl or _attention
+        # windowed attention (Mistral family): thread the window through the
+        # caller's impl — flash/ring Pallas kernels carry banded masks with
+        # dead-block DMA skip on both sides (round 2; previously this
+        # silently overrode attn_impl with the XLA path)
+        attn_impl = _windowed(attn_impl, cfg.sliding_window)
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids, cfg)
     h = inputs_embeds
     B, S, D = h.shape
 
     if positions is None:
-        base = kv_cache.offset if kv_cache is not None else jnp.zeros((B,), jnp.int32)
+        # absolute positions: slots-used + compaction base (RoPE is always
+        # absolute; attention masks use slot-relative positions below)
+        base = (kv_cache.pos_base + kv_cache.offset if kv_cache is not None
+                else jnp.zeros((B,), jnp.int32))
         positions = base[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    attn_pos = (positions - kv_cache.pos_base[:, None]
+                if kv_cache is not None else positions)
 
     layer_lora = (lora or {}).get("layers") or None
 
@@ -355,7 +403,7 @@ def forward(
             h, k_all, v_all = carry
             layer_params, layer_lora_x, rng_l, l_idx = xs
             h, (k_all, v_all) = _layer(
-                h, layer_params, layer_lora_x, cos, sin, positions,
+                h, layer_params, layer_lora_x, cos, sin, attn_pos,
                 (k_all, v_all, kv_cache.offset, l_idx), cfg, lora_scaling,
                 attn_impl,
                 layer_rng=rng_l if use_dropout else None,
@@ -405,7 +453,8 @@ def forward(
     if kv_cache is not None:
         nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
         new_cache = KVCache(k=new_kvs[0], v=new_kvs[1],
-                            offset=kv_cache.offset + nv)
+                            offset=kv_cache.offset + nv,
+                            pos_base=kv_cache.pos_base)
     return logits, new_cache
 
 

@@ -21,7 +21,8 @@ from .flash_attention import flash_attention
 MAX_DECODE_CHUNK = 64
 
 
-def auto_attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+def auto_attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
+                   sliding_window=None):
     from ..models.llama import _attention as xla_attention
 
     B, Hq, T, d = q.shape
@@ -29,28 +30,33 @@ def auto_attention(q, k, v, q_pos, kv_valid_upto, *, num_groups):
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         return xla_attention(q, k, v, q_pos, kv_valid_upto,
-                             num_groups=num_groups)
+                             num_groups=num_groups,
+                             sliding_window=sliding_window)
     if T == S and T % 128 == 0 and d in (64, 128, 256):
         # training / full forward: positions are 0..T-1
-        return flash_attention(q, k, v, 1.0 / d ** 0.5, True, 0)
+        return flash_attention(q, k, v, 1.0 / d ** 0.5, True, 0,
+                               window=sliding_window)
     if T <= MAX_DECODE_CHUNK and d in (64, 128, 256):
-        return ring_decode_attention(q, k, v, q_pos)
+        return ring_decode_attention(q, k, v, q_pos, window=sliding_window)
     return xla_attention(q, k, v, q_pos, kv_valid_upto,
-                         num_groups=num_groups)
+                         num_groups=num_groups, sliding_window=sliding_window)
 
 
-def _auto_layered(q, k_all, v_all, q_pos, layer, *, num_groups):
+def _auto_layered(q, k_all, v_all, q_pos, layer, *, num_groups,
+                  sliding_window=None):
     """Cache-resident attention: reads kv blocks straight from the stacked
     (L, B, Hkv, C, d) ring at ``layer`` — no per-layer slice materialization
     (O(valid) HBM traffic instead of O(capacity), see decode_attention)."""
     B, Hq, T, d = q.shape
     if (jax.default_backend() == "tpu" and T <= MAX_DECODE_CHUNK
             and d in (64, 128, 256)):
-        return ring_decode_attention_layered(q, k_all, v_all, q_pos, layer)
+        return ring_decode_attention_layered(q, k_all, v_all, q_pos, layer,
+                                             window=sliding_window)
     from ..models.llama import _attention as xla_attention
     k_l = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
     v_l = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
-    return xla_attention(q, k_l, v_l, q_pos, None, num_groups=num_groups)
+    return xla_attention(q, k_l, v_l, q_pos, None, num_groups=num_groups,
+                         sliding_window=sliding_window)
 
 
 auto_attention.layered = _auto_layered

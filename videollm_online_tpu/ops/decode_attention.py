@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 
 def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, block_k, rows):
+            acc_ref, m_ref, l_ref, *, block_k, rows, n_batch, window=None):
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -39,7 +39,11 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(ki < nb_ref[b])
+    live = ki < nb_ref[b]
+    if window is not None:
+        live = jnp.logical_and(live, ki >= nb_ref[n_batch + b])
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]                              # (rows, d)
         k = k_ref[0, 0]                              # (bk, d)
@@ -49,6 +53,10 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
         qpos = qpos_ref[0].astype(jnp.int32)[:, None]  # (rows, 1)
         mask = (ki * block_k + cols) <= qpos
+        if window is not None:
+            # Mistral sliding window: slot visible iff slot > qpos - window
+            mask = jnp.logical_and(mask,
+                                   (ki * block_k + cols) > qpos - window)
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -70,9 +78,11 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
-                          interpret: bool = None):
+                          window: int = None, interpret: bool = None):
     """q: (B, Hq, S, d); k/v: (B, Hkv, C, d); q_pos: (B, S) absolute
-    positions (mask: ring slot j visible iff j <= q_pos). Returns (B, Hq, S, d).
+    positions (mask: ring slot j visible iff j <= q_pos, and with ``window``
+    additionally j > q_pos - window). Dead blocks on either side of the band
+    issue no HBM DMA. Returns (B, Hq, S, d).
     """
     B, Hq, S, d = q.shape
     _, Hkv, C, _ = k.shape
@@ -85,26 +95,31 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
     qg = q.reshape(B, Hkv, G, S, d).reshape(B, Hkv, rows, d)
     qpos_rows = jnp.tile(q_pos, (1, G))  # (B, rows)
 
-    # per-batch number of kv blocks that contain any visible slot
+    # per-batch first/last kv blocks that contain any visible slot
     max_pos = jnp.max(q_pos, axis=1)
     nb = jnp.minimum(max_pos // block_k + 1,
                      pl.cdiv(C, block_k)).astype(jnp.int32)
+    if window is not None:
+        min_pos = jnp.min(q_pos, axis=1)
+        fb = jnp.maximum((min_pos - window + 1) // block_k, 0).astype(jnp.int32)
+    else:
+        fb = jnp.zeros((B,), jnp.int32)
+    meta = jnp.concatenate([nb, fb], axis=0)  # [nb_0..nb_B-1, fb_0..fb_B-1]
+
+    def kv_map(b, h, ki, meta):
+        return (b, h, jnp.clip(ki, meta[B + b], meta[b] - 1), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, pl.cdiv(C, block_k)),
         in_specs=[
-            pl.BlockSpec((1, rows), lambda b, h, ki, nb: (b, 0)),
-            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, nb: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, ki, nb: (b, h,
-                                               jnp.minimum(ki, nb[b] - 1), 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda b, h, ki, nb: (b, h,
-                                               jnp.minimum(ki, nb[b] - 1), 0)),
+            pl.BlockSpec((1, rows), lambda b, h, ki, meta: (b, 0)),
+            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, d),
-                               lambda b, h, ki, nb: (b, h, 0, 0)),
+                               lambda b, h, ki, meta: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((rows, d), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),
@@ -112,16 +127,18 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=block_k, rows=rows),
+        functools.partial(_kernel, block_k=block_k, rows=rows, n_batch=B,
+                          window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
         interpret=interpret,
-    )(nb, qpos_rows, qg, k, v)
+    )(meta, qpos_rows, qg, k, v)
     return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
 
 
 def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
                                   block_k: int = DEFAULT_BLOCK_K,
+                                  window: int = None,
                                   interpret: bool = None):
     """Same as :func:`ring_decode_attention` but reads kv blocks DIRECTLY
     from the full stacked cache (L, B, Hkv, C, d) at a traced ``layer``
@@ -144,12 +161,18 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
     max_pos = jnp.max(q_pos, axis=1)
     nb = jnp.minimum(max_pos // block_k + 1,
                      pl.cdiv(C, block_k)).astype(jnp.int32)
-    # one scalar-prefetch vector: [layer, nb_0, ..., nb_{B-1}]
+    if window is not None:
+        min_pos = jnp.min(q_pos, axis=1)
+        fb = jnp.maximum((min_pos - window + 1) // block_k, 0).astype(jnp.int32)
+    else:
+        fb = jnp.zeros((B,), jnp.int32)
+    # one scalar-prefetch vector: [layer, nb_0..nb_B-1, fb_0..fb_B-1]
     meta = jnp.concatenate(
-        [jnp.asarray(layer, jnp.int32).reshape(1), nb], axis=0)
+        [jnp.asarray(layer, jnp.int32).reshape(1), nb, fb], axis=0)
 
     def kv_map(b, h, ki, meta):
-        return (meta[0], b, h, jnp.minimum(ki, meta[1 + b] - 1), 0)
+        return (meta[0], b, h,
+                jnp.clip(ki, meta[1 + B + b], meta[1 + b] - 1), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -169,7 +192,8 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_layered, block_k=block_k, rows=rows),
+        functools.partial(_kernel_layered, block_k=block_k, rows=rows,
+                          n_batch=B, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
         interpret=interpret,
@@ -178,7 +202,8 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
 
 
 def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
-                    acc_ref, m_ref, l_ref, *, block_k, rows):
+                    acc_ref, m_ref, l_ref, *, block_k, rows, n_batch,
+                    window=None):
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -189,7 +214,11 @@ def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(ki < meta_ref[1 + b])
+    live = ki < meta_ref[1 + b]
+    if window is not None:
+        live = jnp.logical_and(live, ki >= meta_ref[1 + n_batch + b])
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]                              # (rows, d)
         k = k_ref[0, 0, 0]                           # (bk, d)
@@ -199,6 +228,9 @@ def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
         qpos = qpos_ref[0].astype(jnp.int32)[:, None]
         mask = (ki * block_k + cols) <= qpos
+        if window is not None:
+            mask = jnp.logical_and(mask,
+                                   (ki * block_k + cols) > qpos - window)
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))

@@ -52,7 +52,7 @@ def _clamp_block(block, n):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k,
-                kv_len, q_offset_static):
+                kv_len, q_offset_static, window=None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -69,6 +69,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        # sliding window: block dead unless some col > some row - window
+        run = jnp.logical_and(run, k_start + block_k - 1 > q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -83,6 +86,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         if causal:
             mask = jnp.logical_and(mask,
                                    (k_start + cols) <= (q_start + rows))
+        if window is not None:
+            # Mistral sliding window: col visible iff col > row - window
+            mask = jnp.logical_and(
+                mask, (k_start + cols) > (q_start + rows - window))
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]                       # (bq, 1)
@@ -106,7 +113,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
 
 
-def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k):
+def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k,
+               window=None):
     B, Hq, T, d = q.shape
     _, Hkv, S, _ = k.shape
     block_q = _clamp_block(block_q, T)
@@ -116,7 +124,7 @@ def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k):
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=S, q_offset_static=q_offset)
+        block_k=block_k, kv_len=S, q_offset_static=q_offset, window=window)
 
     def kv_index(b, h, qi, ki):
         if causal:
@@ -124,6 +132,11 @@ def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k):
             # index so Pallas re-serves the previous block (no HBM DMA)
             last_needed = (qi * block_q + block_q - 1 + q_offset) // block_k
             ki = jnp.minimum(ki, last_needed)
+        if window is not None:
+            # blocks wholly below the sliding window are dead too
+            first_needed = jnp.maximum(
+                (qi * block_q + q_offset - window + 1) // block_k, 0)
+            ki = jnp.maximum(ki, first_needed)
         return (b, h // groups, ki, 0)
 
     out, lse = pl.pallas_call(
@@ -161,7 +174,7 @@ def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k):
 
 def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                  dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal, block_q,
-                 block_k, kv_len, q_offset_static):
+                 block_k, kv_len, q_offset_static, window=None):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -176,6 +189,9 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        # sliding window: block dead unless some col > some row - window
+        run = jnp.logical_and(run, k_start + block_k - 1 > q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -193,6 +209,10 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if causal:
             mask = jnp.logical_and(mask,
                                    (k_start + cols) <= (q_start + rows))
+        if window is not None:
+            # Mistral sliding window: col visible iff col > row - window
+            mask = jnp.logical_and(
+                mask, (k_start + cols) > (q_start + rows - window))
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)        # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -212,7 +232,7 @@ def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                dq_acc, *, scale, causal, block_q, block_k, kv_len,
-               q_offset_static):
+               q_offset_static, window=None):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -226,6 +246,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        # sliding window: block dead unless some col > some row - window
+        run = jnp.logical_and(run, k_start + block_k - 1 > q_start - window)
 
     @pl.when(run)
     def _compute():
@@ -243,6 +266,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         if causal:
             mask = jnp.logical_and(mask,
                                    (k_start + cols) <= (q_start + rows))
+        if window is not None:
+            # Mistral sliding window: col visible iff col > row - window
+            mask = jnp.logical_and(
+                mask, (k_start + cols) > (q_start + rows - window))
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -256,7 +283,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
+def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k,
+               window=None):
     q, k, v, out, lse = res
     B, Hq, T, d = q.shape
     _, Hkv, S, _ = k.shape
@@ -276,6 +304,12 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
             first_needed = jnp.maximum(
                 (ki * block_k - q_offset) // block_q, 0)
             qi = jnp.maximum(qi, jnp.minimum(first_needed, nq - 1))
+        if window is not None:
+            # q rows at or beyond col + window never see this kv block
+            last_needed = jnp.maximum(
+                (ki * block_k + block_k - 1 + window - 1 - q_offset)
+                // block_q, 0)
+            qi = jnp.minimum(qi, jnp.minimum(last_needed, nq - 1))
         return (b, h, qi, 0)
 
     q_spec = pl.BlockSpec((1, 1, block_q, d), q_index)
@@ -287,7 +321,7 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, kv_len=S,
-                          q_offset_static=q_offset),
+                          q_offset_static=q_offset, window=window),
         grid=(B, Hq, _blocks(S, block_k), _blocks(T, block_q)),
         in_specs=[q_spec, kv_spec_g, kv_spec_g, q_spec, row_spec, row_spec],
         out_specs=[
@@ -313,12 +347,16 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k):
         if causal:
             last_needed = (qi * block_q + block_q - 1 + q_offset) // block_k
             ki = jnp.minimum(ki, last_needed)
+        if window is not None:
+            first_needed = jnp.maximum(
+                (qi * block_q + q_offset - window + 1) // block_k, 0)
+            ki = jnp.maximum(ki, first_needed)
         return (b, h // groups, ki, 0)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, kv_len=S,
-                          q_offset_static=q_offset),
+                          q_offset_static=q_offset, window=window),
         grid=(B, Hq, _blocks(T, block_q), _blocks(S, block_k)),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
@@ -352,26 +390,31 @@ def _interpret_mode() -> bool:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, scale: float, causal: bool = True,
                     q_offset: int = 0, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
+                    block_k: int = DEFAULT_BLOCK_K, window=None):
     """Fused attention. q (B, Hq, T, d); k/v (B, Hkv, S, d) with Hq % Hkv == 0.
-    Causal mask: kv slot j visible to query i iff j <= q_offset + i."""
+    Causal mask: kv slot j visible to query i iff j <= q_offset + i; with
+    ``window`` (Mistral sliding window) additionally j > q_offset + i -
+    window. Fully-masked blocks issue no HBM DMA on either side of the
+    band."""
     out, _ = _flash_fwd(q, k, v, scale=scale, causal=causal,
-                        q_offset=q_offset, block_q=block_q, block_k=block_k)
+                        q_offset=q_offset, block_q=block_q, block_k=block_k,
+                        window=window)
     return out
 
 
-def _vjp_fwd(q, k, v, scale, causal, q_offset, block_q, block_k):
+def _vjp_fwd(q, k, v, scale, causal, q_offset, block_q, block_k, window):
     out, lse = _flash_fwd(q, k, v, scale=scale, causal=causal,
-                          q_offset=q_offset, block_q=block_q, block_k=block_k)
+                          q_offset=q_offset, block_q=block_q, block_k=block_k,
+                          window=window)
     return out, (q, k, v, out, lse)
 
 
-def _vjp_bwd(scale, causal, q_offset, block_q, block_k, res, g):
+def _vjp_bwd(scale, causal, q_offset, block_q, block_k, window, res, g):
     return _flash_bwd(res, g, scale=scale, causal=causal, q_offset=q_offset,
-                      block_q=block_q, block_k=block_k)
+                      block_q=block_q, block_k=block_k, window=window)
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

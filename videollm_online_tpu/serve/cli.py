@@ -41,10 +41,21 @@ def build_engine(args):
     cfg = live1_plus_config(llama=llama_cfg, lora=None)
 
     if args.tokenizer:
-        from transformers import AutoTokenizer
+        import os
         from ..tokenizer.live_tokenizer import build_live_tokenizer
-        tok = build_live_tokenizer(AutoTokenizer.from_pretrained(args.tokenizer),
-                                   cfg)
+        tk_json = os.path.join(args.tokenizer, "tokenizer.json")
+        if os.path.isdir(args.tokenizer) and os.path.exists(tk_json) \
+                and not os.path.exists(os.path.join(args.tokenizer,
+                                                    "tokenizer_config.json")):
+            # bare tokenizer.json asset (e.g. tools/build_tokenizer.py)
+            from transformers import PreTrainedTokenizerFast
+            hf = PreTrainedTokenizerFast(
+                tokenizer_file=tk_json, bos_token="<|begin_of_text|>",
+                eos_token="<|eot_id|>")
+        else:
+            from transformers import AutoTokenizer
+            hf = AutoTokenizer.from_pretrained(args.tokenizer)
+        tok = build_live_tokenizer(hf, cfg)
     else:
         tok = LiveTokenizer(ByteTokenizer(), cfg)
     cfg = tok.cfg
@@ -52,6 +63,13 @@ def build_engine(args):
     if args.checkpoint:
         from ..train.checkpoints import restore_params
         params = restore_params(args.checkpoint)
+        if "llama" not in params:
+            # bare decoder tree (tools/convert_weights.py output): the
+            # connector normally rides in the adapter checkpoint
+            # (reference modules_to_save=['connector'])
+            params = {"llama": params,
+                      "connector": live.init_connector(
+                          jax.random.PRNGKey(args.seed), cfg)}
         if getattr(args, "quantize", "") == "int8":
             from ..models import quant
             params = quant.quantize_live_params(params)

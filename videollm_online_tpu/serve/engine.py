@@ -59,6 +59,7 @@ class LiveInferEngine:
         frame_fps: Optional[float] = None,
         attn_impl=None,
         encoder_device=None,
+        stream_window: Optional[int] = None,
     ):
         # encoder_device: place the vision tower on a different chip so
         # frame encoding genuinely overlaps decoder work (the paper claims
@@ -68,6 +69,26 @@ class LiveInferEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
+        # infinite-stream serving: attention restricted to the last
+        # ``stream_window`` tokens and the ring COMPACTED (newest window
+        # shifted to the front, pos_base advanced) when full — streams of
+        # any length run in bounded memory with transcripts exactly equal
+        # to an uncompacted engine using the same window. None (default) =
+        # reference-faithful full attention; the ring then fails loudly at
+        # capacity (the reference instead grows its KV until GPU OOM,
+        # demo/inference.py:64-68).
+        self.stream_window = stream_window
+        if stream_window is not None:
+            import dataclasses
+            need = (stream_window + TEXT_BUCKET
+                    + CHUNK_FRAMES * (self.cfg.frame_num_tokens + 1)
+                    + max(PROMPT_BUCKETS) + self.cfg.max_response_tokens)
+            assert kv_capacity >= need, (
+                f"kv_capacity {kv_capacity} too small for stream_window "
+                f"{stream_window}: needs >= {need} (window + one chunk + "
+                f"one response turn)")
+            self.cfg = self.cfg.replace(llama=dataclasses.replace(
+                self.cfg.llama, sliding_window=stream_window))
         assert self.cfg.v_placeholder_id is not None, "config missing token ids"
         self.vision_params = vision_params
         self.kv_capacity = kv_capacity
@@ -253,6 +274,8 @@ class LiveInferEngine:
                 out_ids[0].astype(jnp.int32)])
             return packed, cache
 
+        self._compact_jit = jax.jit(llama.compact_kv_cache,
+                                    donate_argnums=(0,))
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
         self._ingest_chunk = jax.jit(ingest_chunk, donate_argnums=(1,))
@@ -407,11 +430,12 @@ class LiveInferEngine:
             worst = (self._host_offset + len(burst_times)
                      * (TEXT_BUCKET + self.frame_num_tokens)
                      + self._gen_prompt_bucket + self.cfg.max_response_tokens)
+            worst = self._maybe_compact(worst)
             if worst > self.kv_capacity:
                 raise RuntimeError(
                     f"KV ring capacity {self.kv_capacity} would be exceeded "
                     f"(offset {self._host_offset}); raise "
-                    f"kv_capacity or reset() the stream")
+                    f"kv_capacity, set stream_window, or reset() the stream")
             first_text, first_n = self._take_prepend()
             thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
                               jnp.float32)
@@ -486,6 +510,21 @@ class LiveInferEngine:
             i += consumed
         return total_consumed, fire, next_id
 
+    def _maybe_compact(self, worst: int) -> int:
+        """If the upcoming write would overflow and a stream_window is set,
+        evict everything older than the window by shifting it to the ring's
+        front (absolute positions preserved via pos_base). Returns the
+        post-compaction worst-case occupancy."""
+        if worst <= self.kv_capacity or self.stream_window is None \
+                or self._host_offset <= self.stream_window:
+            return worst
+        keep = self.stream_window
+        freed = self._host_offset - keep
+        self.cache = self._compact_jit(self.cache,
+                                       jnp.asarray(keep, jnp.int32))
+        self._host_offset = keep
+        return worst - freed
+
     def _take_prepend(self) -> Tuple[jax.Array, jax.Array]:
         """Pending text tokens for the next frame step, right-aligned in the
         TEXT_BUCKET. First-ever step prefills the system prompt separately."""
@@ -530,11 +569,13 @@ class LiveInferEngine:
         # paths reach here without passing the burst guard, and an unchecked
         # overflow would silently clamp the ring write (cache corruption)
         worst = self._host_offset + bucket + self.cfg.max_response_tokens
+        worst = self._maybe_compact(worst)
         if worst > self.kv_capacity:
             raise RuntimeError(
                 f"KV ring capacity {self.kv_capacity} would be exceeded by "
                 f"the response turn (offset {self._host_offset}, "
-                f"prompt bucket {bucket}); raise kv_capacity or reset()")
+                f"prompt bucket {bucket}); raise kv_capacity, set "
+                f"stream_window, or reset()")
         buf = np.zeros((1, bucket), np.int32)
         buf[0, bucket - n:] = prompt
         packed, self.cache = self._respond(

@@ -29,12 +29,29 @@ def save_params(path: str, params: Dict[str, Any]) -> None:
 
 def restore_params(path: str, like: Optional[Dict[str, Any]] = None
                    ) -> Dict[str, Any]:
+    """Restore a param tree onto the CURRENT default device.
+
+    Checkpoints record the shardings they were saved with; restoring a
+    CPU-converted checkpoint (tools/convert_weights.py) on a TPU then fails
+    with "Device TFRT_CPU_0 was not found". Build the restore target from
+    the checkpoint's own metadata with a single-device sharding on this
+    platform instead."""
+    import orbax.checkpoint as ocp
+
     ckptr = _checkpointer()
+    path = os.path.abspath(path)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     if like is not None:
         target = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
-        return ckptr.restore(os.path.abspath(path), target)
-    return ckptr.restore(os.path.abspath(path))
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                           sharding=sharding), like)
+        return ckptr.restore(path, target)
+    meta = ckptr.metadata(path)
+    tree_meta = getattr(meta, "item_metadata", meta)
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        tree_meta)
+    return ckptr.restore(path, target)
 
 
 def save_adapter(path: str, params: Dict[str, Any]) -> None:
