@@ -118,7 +118,59 @@ def main():
             "response_full_budget"]["p50_ms"]
         print(json.dumps(report, indent=1), flush=True)
 
-        # 3. encoder throughput (random SigLIP-large weights)
+        # 3. multistream aggregate throughput: N concurrent dialogues through
+        # the public MultiStreamEngine (batched chunked ingest + batched
+        # greedy responses); workload mirrors bench.py engine mode — gate
+        # held by the logit-bias knob, one 20-token response per stream per
+        # 8 frames
+        if args.streams > 0:
+            from videollm_online_tpu.serve.multistream import MultiStreamEngine
+
+            ms_cfg = cfg.replace(gate_logit_bias=30.0,
+                                 max_response_tokens=20)
+            rngf = jax.random.PRNGKey(7)
+            per_stream = max(args.frames, 32)
+            # size the ring to the workload: 8B keeps only ~8 GB HBM free
+            # after int8 weights, and the cache is (L, N, H, C, d) x2
+            ms_ctx = 256 * (
+                (per_stream * (fnt + 4) + 128
+                 + (per_stream // 8 + 2) * (128 + 20)) // 256 + 1)
+            ms = MultiStreamEngine(params, tok, ms_cfg,
+                                   num_streams=args.streams,
+                                   kv_capacity=ms_ctx)
+            feats = np.asarray(jax.random.normal(
+                rngf, (per_stream, fnt, cfg.vision_hidden_size),
+                jnp.float32))
+
+            def run_ms():
+                ms.reset()
+                responses = 0
+                for i in range(args.streams):
+                    ms.input_frames(i, 0.0, feats)
+                    for qt in range(0, per_stream, 8):
+                        ms.input_query(i, "What am I doing?",
+                                       qt / cfg.frame_fps)
+                ticks = 0
+                while ms.pending() and ticks < per_stream * 4:
+                    results = ms.step()
+                    responses += sum(r is not None for r in results)
+                    ticks += 1
+                return responses
+
+            progress("compiling multistream engine...")
+            run_ms()  # warmup/compile
+            progress("measuring multistream aggregate FPS...")
+            t0 = time.perf_counter()
+            responses = run_ms()
+            dt = time.perf_counter() - t0
+            agg = args.streams * per_stream / dt
+            report["multistream_streams"] = args.streams
+            report["multistream_aggregate_fps"] = round(agg, 1)
+            report["multistream_responses"] = responses
+            progress(f"multistream: {agg:.1f} frames/s aggregate over "
+                     f"{args.streams} streams ({responses} responses)")
+
+        # 4. encoder throughput (random SigLIP-large weights)
         if args.encoder_batch > 0:
             vparams = siglip.init_params(jax.random.fold_in(key, 2),
                                          cfg.vision)

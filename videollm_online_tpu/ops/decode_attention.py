@@ -51,7 +51,7 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
-        qpos = qpos_ref[0].astype(jnp.int32)[:, None]  # (rows, 1)
+        qpos = qpos_ref[0, 0].astype(jnp.int32)[:, None]  # (rows, 1)
         mask = (ki * block_k + cols) <= qpos
         if window is not None:
             # Mistral sliding window: slot visible iff slot > qpos - window
@@ -93,7 +93,7 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
 
     # (B, Hkv, G*S, d): row r of group-head h is (head h*G + r//S, query r%S)
     qg = q.reshape(B, Hkv, G, S, d).reshape(B, Hkv, rows, d)
-    qpos_rows = jnp.tile(q_pos, (1, G))  # (B, rows)
+    qpos_rows = jnp.tile(q_pos, (1, G))[:, None]  # (B, 1, rows)
 
     # per-batch first/last kv blocks that contain any visible slot
     max_pos = jnp.max(q_pos, axis=1)
@@ -113,7 +113,7 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
         num_scalar_prefetch=1,
         grid=(B, Hkv, pl.cdiv(C, block_k)),
         in_specs=[
-            pl.BlockSpec((1, rows), lambda b, h, ki, meta: (b, 0)),
+            pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
             pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_k, d), kv_map),
             pl.BlockSpec((1, 1, block_k, d), kv_map),
@@ -156,7 +156,7 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
         interpret = jax.default_backend() not in ("tpu",)
 
     qg = q.reshape(B, Hkv, G, S, d).reshape(B, Hkv, rows, d)
-    qpos_rows = jnp.tile(q_pos, (1, G))
+    qpos_rows = jnp.tile(q_pos, (1, G))[:, None]  # (B, 1, rows)
 
     max_pos = jnp.max(q_pos, axis=1)
     nb = jnp.minimum(max_pos // block_k + 1,
@@ -178,7 +178,7 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
         num_scalar_prefetch=1,
         grid=(B, Hkv, pl.cdiv(C, block_k)),
         in_specs=[
-            pl.BlockSpec((1, rows), lambda b, h, ki, meta: (b, 0)),
+            pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
             pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
             pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
@@ -226,7 +226,7 @@ def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
-        qpos = qpos_ref[0].astype(jnp.int32)[:, None]
+        qpos = qpos_ref[0, 0].astype(jnp.int32)[:, None]
         mask = (ki * block_k + cols) <= qpos
         if window is not None:
             mask = jnp.logical_and(mask,

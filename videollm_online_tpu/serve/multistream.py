@@ -109,7 +109,10 @@ class MultiStreamEngine:
                                probs.at[:, gate_id].set(0.0), probs)
             next_id = jnp.argmax(masked, axis=-1).astype(jnp.int32)
             fire = jnp.logical_and(active, next_id != gate_id)
-            return cache, fire, next_id
+            # one packed (3, N) readback: fire / next_id / offset
+            packed = jnp.stack([fire.astype(jnp.int32), next_id,
+                                cache.offset])
+            return cache, packed
 
         use_interval = interval_id is not None
         itv = 1 if use_interval else 0
@@ -175,8 +178,10 @@ class MultiStreamEngine:
             base = cache.offset - valid                  # offsets pre-append
             cache = cache._replace(offset=base + consumed_tokens)
             last = jnp.clip(consumed - 1, 0, K - 1)
-            return (cache, consumed, any_fire,
-                    next_ids[jnp.arange(N), last])
+            # one packed (4, N) readback
+            packed = jnp.stack([consumed, any_fire.astype(jnp.int32),
+                                next_ids[jnp.arange(N), last], cache.offset])
+            return cache, packed
 
         def respond(params, cache, prompt_ids, num_valid, active):
             """Batched greedy decode for the ACTIVE streams."""
@@ -214,7 +219,10 @@ class MultiStreamEngine:
 
             _, out, cache, _, lengths = jax.lax.while_loop(
                 cond, body, (jnp.asarray(1), out, cache, done, lengths))
-            return out, lengths, cache
+            # one packed (N, 2 + max_new) readback: [len, offset, ids...]
+            packed = jnp.concatenate(
+                [lengths[:, None], cache.offset[:, None], out], axis=1)
+            return packed, cache
 
         def prefill(params, cache, ids, nv, active):
             embeds = llama.embed_tokens(params["llama"], ids, cfg.llama)
@@ -243,6 +251,8 @@ class MultiStreamEngine:
         self.prepends: List[List[int]] = [[] for _ in range(self.N)]
         self._needs_prefill = [True] * self.N
         self.transcripts: List[List[Tuple]] = [[] for _ in range(self.N)]
+        # host mirror of cache.offset (guards without a tunnel readback)
+        self._host_offsets = np.zeros((self.N,), np.int64)
 
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
@@ -277,6 +287,7 @@ class MultiStreamEngine:
             nv[i] = len(s)
             self._needs_prefill[i] = False
             self.prepends[i] = []
+            self._host_offsets[i] += len(s)
         active = np.zeros((self.N,), bool)
         active[todo] = True
         self.cache = self._prefill(self.params, self.cache, jnp.asarray(ids),
@@ -323,43 +334,53 @@ class MultiStreamEngine:
             # stream; an overflow would silently clamp the ring write
             write_len = (TEXT_BUCKET + self.fnt if max_burst <= 1 else
                          TEXT_BUCKET + K * self.fnt + (K - 1) * itv)
-            offsets = np.asarray(self.cache.offset)
             for i in range(self.N):
-                if active[i] and (int(offsets[i]) + write_len + PROMPT_BUCKET
+                if active[i] and (int(self._host_offsets[i]) + write_len
+                                  + PROMPT_BUCKET
                                   + self.max_new) > self.kv_capacity:
                     raise RuntimeError(
                         f"stream {i}: KV ring capacity {self.kv_capacity} "
-                        f"would be exceeded (offset {int(offsets[i])})")
+                        f"would be exceeded "
+                        f"(offset {int(self._host_offsets[i])})")
 
         fire = np.zeros((self.N,), bool)
         next_id = np.zeros((self.N,), np.int32)
         consumed = np.zeros((self.N,), np.int64)
+        zero_frame = jnp.zeros((self.fnt, self.hidden), jnp.float32)
         if active.any():
             if max_burst <= 1:
-                frames = np.zeros((self.N, self.fnt, self.hidden), np.float32)
-                for i in range(self.N):
-                    if active[i]:
-                        frames[i] = np.asarray(bursts[i][0][1], np.float32)
-                self.cache, fire_d, next_d = self._frame_step(
+                # keep frame embeds ON DEVICE: np.asarray per frame would be
+                # a device->host readback each (a full RTT on tunneled TPUs)
+                frames = jnp.stack([
+                    bursts[i][0][1] if active[i] else zero_frame
+                    for i in range(self.N)])
+                self.cache, packed = self._frame_step(
                     self.params, self.cache, jnp.asarray(text_ids),
-                    jnp.asarray(n_text), jnp.asarray(frames),
+                    jnp.asarray(n_text), frames.astype(jnp.float32),
                     jnp.asarray(active))
+                packed = np.asarray(packed)  # ONE readback
+                fire = packed[0].astype(bool)
+                next_id = packed[1]
+                self._host_offsets[:] = packed[2]
                 consumed = active.astype(np.int64)
             else:
-                frames = np.zeros((self.N, K, self.fnt, self.hidden),
-                                  np.float32)
                 n_frames = np.zeros((self.N,), np.int32)
+                rows = []
                 for i in range(self.N):
-                    for j, (_, emb) in enumerate(bursts[i]):
-                        frames[i, j] = np.asarray(emb, np.float32)
-                    n_frames[i] = len(bursts[i])
-                self.cache, consumed_d, fire_d, next_d = self._chunk_step(
+                    embs = [e for _, e in bursts[i]]
+                    n_frames[i] = len(embs)
+                    embs += [zero_frame] * (K - len(embs))
+                    rows.append(jnp.stack(embs))
+                frames = jnp.stack(rows).astype(jnp.float32)
+                self.cache, packed = self._chunk_step(
                     self.params, self.cache, jnp.asarray(text_ids),
-                    jnp.asarray(n_text), jnp.asarray(frames),
+                    jnp.asarray(n_text), frames,
                     jnp.asarray(n_frames), jnp.asarray(active))
-                consumed = np.asarray(consumed_d)
-            fire = np.asarray(fire_d)
-            next_id = np.asarray(next_d)
+                packed = np.asarray(packed)  # ONE readback
+                consumed = packed[0].astype(np.int64)
+                fire = packed[1].astype(bool)
+                next_id = packed[2]
+                self._host_offsets[:] = packed[3]
 
         # pop consumed frames; record each stream's last processed time
         for i in range(self.N):
@@ -420,11 +441,13 @@ class MultiStreamEngine:
             for i, prompt in prompts.items():
                 ids[i, P - len(prompt):] = prompt
                 nv[i] = len(prompt)
-            out, lengths, self.cache = self._respond(
+            packed, self.cache = self._respond(
                 self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
                 jnp.asarray(respond_mask))
-            out = np.asarray(out)
-            lengths = np.asarray(lengths)
+            packed = np.asarray(packed)  # ONE readback
+            lengths = packed[:, 0]
+            self._host_offsets[:] = packed[:, 1]
+            out = packed[:, 2:]
             for i in range(self.N):
                 if not respond_mask[i]:
                     continue
