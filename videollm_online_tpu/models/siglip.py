@@ -98,7 +98,18 @@ def _linear(x, p):
 
 
 def _mha(q, k, v, num_heads):
-    """(B, Tq, D) x (B, Tk, D) -> (B, Tq, D), fp32 softmax."""
+    """(B, Tq, D) x (B, Tk, D) -> (B, Tq, D), fp32 softmax.
+
+    SETTLED (round 2, v5e, SURVEY §7.2's "fused encoder kernel"): at the
+    SigLIP-large shapes (T=576, head_dim=64) attention runs ~20-23 TF/s on
+    EVERY implementation tried — this XLA einsum path (fp32 or bf16
+    logits), and the Pallas flash kernel with tokens padded to 640 and a
+    static kv_valid mask (single- and multi-block). head_dim 64 halves the
+    MXU contraction dim and the per-(batch, head) matmul structure is
+    fill-bound; there is no fusion win left (the non-attention 91% of
+    encoder FLOPs already run near the chip's 150 TF/s matmul rate,
+    ~99 TF/s end-to-end, 263 imgs/s = 131 concurrent 2fps streams). A
+    bespoke kernel is not profitable; keeping the XLA path."""
     B, Tq, D = q.shape
     Tk = k.shape[1]
     hd = D // num_heads

@@ -114,9 +114,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k,
-               window=None):
+               window=None, kv_valid=None):
     B, Hq, T, d = q.shape
     _, Hkv, S, _ = k.shape
+    kv_len = kv_valid if kv_valid is not None else S
     block_q = _clamp_block(block_q, T)
     block_k = _clamp_block(block_k, S)
     groups = Hq // Hkv
@@ -124,7 +125,8 @@ def _flash_fwd(q, k, v, *, scale, causal, q_offset, block_q, block_k,
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=S, q_offset_static=q_offset, window=window)
+        block_k=block_k, kv_len=kv_len, q_offset_static=q_offset,
+        window=window)
 
     def kv_index(b, h, qi, ki):
         if causal:
@@ -284,10 +286,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 
 def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k,
-               window=None):
+               window=None, kv_valid=None):
     q, k, v, out, lse = res
     B, Hq, T, d = q.shape
     _, Hkv, S, _ = k.shape
+    kv_len = kv_valid if kv_valid is not None else S
     block_q = _clamp_block(block_q, T)
     block_k = _clamp_block(block_k, S)
     groups = Hq // Hkv
@@ -320,7 +323,7 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, kv_len=S,
+                          block_q=block_q, block_k=block_k, kv_len=kv_len,
                           q_offset_static=q_offset, window=window),
         grid=(B, Hq, _blocks(S, block_k), _blocks(T, block_q)),
         in_specs=[q_spec, kv_spec_g, kv_spec_g, q_spec, row_spec, row_spec],
@@ -355,7 +358,7 @@ def _flash_bwd(res, g, *, scale, causal, q_offset, block_q, block_k,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, kv_len=S,
+                          block_q=block_q, block_k=block_k, kv_len=kv_len,
                           q_offset_static=q_offset, window=window),
         grid=(B, Hq, _blocks(T, block_q), _blocks(S, block_k)),
         in_specs=[
@@ -390,10 +393,11 @@ def _interpret_mode() -> bool:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def flash_attention(q, k, v, scale: float, causal: bool = True,
                     q_offset: int = 0, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K, window=None):
+                    block_k: int = DEFAULT_BLOCK_K, window=None,
+                    kv_valid=None):
     """Fused attention. q (B, Hq, T, d); k/v (B, Hkv, S, d) with Hq % Hkv == 0.
     Causal mask: kv slot j visible to query i iff j <= q_offset + i; with
     ``window`` (Mistral sliding window) additionally j > q_offset + i -
@@ -401,20 +405,23 @@ def flash_attention(q, k, v, scale: float, causal: bool = True,
     band."""
     out, _ = _flash_fwd(q, k, v, scale=scale, causal=causal,
                         q_offset=q_offset, block_q=block_q, block_k=block_k,
-                        window=window)
+                        window=window, kv_valid=kv_valid)
     return out
 
 
-def _vjp_fwd(q, k, v, scale, causal, q_offset, block_q, block_k, window):
+def _vjp_fwd(q, k, v, scale, causal, q_offset, block_q, block_k, window,
+             kv_valid):
     out, lse = _flash_fwd(q, k, v, scale=scale, causal=causal,
                           q_offset=q_offset, block_q=block_q, block_k=block_k,
-                          window=window)
+                          window=window, kv_valid=kv_valid)
     return out, (q, k, v, out, lse)
 
 
-def _vjp_bwd(scale, causal, q_offset, block_q, block_k, window, res, g):
+def _vjp_bwd(scale, causal, q_offset, block_q, block_k, window, kv_valid,
+             res, g):
     return _flash_bwd(res, g, scale=scale, causal=causal, q_offset=q_offset,
-                      block_q=block_q, block_k=block_k, window=window)
+                      block_q=block_q, block_k=block_k, window=window,
+                      kv_valid=kv_valid)
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
