@@ -33,3 +33,49 @@ def test_render_fallback_npy(tmp_path):
     board0, board2 = video[0][:, 64:], video[2][:, 64:]
     assert not np.array_equal(board0, board2)
     assert board2.std() > board0.std()  # text drawn on later board
+
+
+def test_formant_tts_backend():
+    """Offline TTS backend contract (reference render.py:12-29: per-message
+    synthesis with fixed speaker seeds): deterministic per seed, different
+    speakers per seed, audible output whose length tracks the text."""
+    from videollm_online_tpu.serve.tts import FormantTTS
+
+    tts = FormantTTS(seed=2)
+    sr, w1 = tts("Hello there, I can see you cooking.")
+    assert sr == 16000
+    assert w1.dtype == np.float32
+    assert np.max(np.abs(w1)) > 0.3          # audible
+    assert np.max(np.abs(w1)) <= 1.0         # normalized
+    sr2, w1b = FormantTTS(seed=2)("Hello there, I can see you cooking.")
+    np.testing.assert_array_equal(w1, w1b)   # deterministic speaker
+    _, w2 = FormantTTS(seed=5)("Hello there, I can see you cooking.")
+    assert w1.shape != w2.shape or not np.allclose(w1, w2)
+    _, short = tts("Hi.")
+    assert len(short) < len(w1)              # duration tracks text
+
+
+def test_render_with_tts_muxes_audio(tmp_path):
+    """End-to-end render with the TTS track: the output video must contain
+    an audio stream (reference render.py:141-156 muxes speech)."""
+    import shutil
+    import subprocess
+    from videollm_online_tpu.serve import rendering
+    from videollm_online_tpu.serve.tts import default_tts_fn
+
+    if shutil.which("ffmpeg") is None:
+        import pytest
+        pytest.skip("ffmpeg not available")
+    video = np.zeros((8, 64, 64, 3), np.uint8)
+    conv = [
+        {"role": "user", "content": "what now?", "time": 0.5},
+        {"role": "assistant", "content": "You wash the pan.", "time": 1.0},
+    ]
+    out = str(tmp_path / "demo.mp4")
+    rendering.render_conversation_video(video, conv, out, fps=2,
+                                        tts_fn=default_tts_fn())
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "a",
+         "-show_entries", "stream=codec_type", "-of", "csv=p=0", out],
+        capture_output=True, text=True)
+    assert "audio" in probe.stdout, probe.stderr

@@ -6,9 +6,11 @@ next to the frames with per-message timing from the conversation JSON
 (render.py:31-75), speech synthesis per assistant message (ChatTTS with
 fixed speaker seeds, render.py:12-29), and a final mux (moviepy,
 render.py:141-156). This environment has PIL but no ChatTTS/moviepy:
-the TTS backend is pluggable (``tts_fn(text) -> (sr, waveform)`` or None)
-and muxing shells out to ffmpeg when present; otherwise the composited
-frames are written as .npy for inspection."""
+the TTS backend is pluggable (``tts_fn(text) -> (sr, waveform)`` or None;
+``serve.tts.default_tts_fn()`` provides a dependency-free offline formant
+synthesizer with deterministic speaker seeds) and muxing shells out to
+ffmpeg when present; otherwise the composited frames are written as .npy
+for inspection."""
 
 from __future__ import annotations
 
