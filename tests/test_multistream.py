@@ -143,3 +143,44 @@ def test_multistream_chunked_catchup_matches_single_stream():
     for i in range(N):
         assert multi_out[i] == single_out[i], (
             f"stream {i}:\nmulti={multi_out[i]}\nsingle={single_out[i]}")
+
+
+def test_multistream_stream_window_compaction():
+    """Batched infinite-stream mode: small-ring engines with stream_window
+    must produce per-stream transcripts exactly equal to a huge-ring engine
+    with the same window, with compaction actually triggering."""
+    import dataclasses
+    cfg, tok, params = _setup(threshold=0.725, seed=3)
+    cfg = cfg.replace(max_response_tokens=12,
+                      gate_logit_bias=0.0)
+    W = 64
+    N, n_frames = 2, 40
+    rng = np.random.RandomState(11)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+
+    def run(capacity):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                               kv_capacity=capacity, chunk_frames=4,
+                               stream_window=W)
+        out = [[] for _ in range(N)]
+        for i in range(N):
+            ms.input_frames(i, 0.0, feats[i])
+            ms.input_query(i, "what now?", video_time=3.0)
+        for _ in range(256):
+            results = ms.step()
+            for i, r in enumerate(results):
+                if r is not None:
+                    out[i].append(r)
+            if not ms.pending() and all(r is None for r in results):
+                break
+        return out, ms
+
+    big_out, big_ms = run(8192)
+    small_out, small_ms = run(448)
+    assert int(np.asarray(big_ms.cache.pos_base).max()) == 0
+    assert int(np.asarray(small_ms.cache.pos_base).max()) > 0, \
+        "compaction never triggered"
+    for i in range(N):
+        assert small_out[i] == big_out[i], f"stream {i}"

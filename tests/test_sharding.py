@@ -98,3 +98,52 @@ def test_param_specs_shapes(setup):
     assert specs["llama"]["embed"] == P("data", "model")
     assert specs["llama"]["final_norm"] == P()
     assert specs["connector"]["fc1"]["w"] == P()
+
+def test_tp_sharded_serving_matches_single_device():
+    """SERVING under tensor parallelism: the public engine driven with
+    params sharded over the model axis must reproduce the single-device
+    transcripts exactly (SURVEY §2.3 TP row: 'needed to serve 8B
+    comfortably'; here validated on the simulated mesh)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from videollm_online_tpu.core.config import tiny_live_config
+    from videollm_online_tpu.models import live
+    from videollm_online_tpu.parallel.mesh import make_mesh
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+    from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+    from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+    from videollm_online_tpu.train import step as step_mod
+
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(frame_token_interval_threshold=0.725,
+                          max_response_tokens=12)
+    params = live.init_params(jax.random.PRNGKey(9), cfg)
+    n_frames = 6
+    feats = np.random.RandomState(2).randn(
+        n_frames, cfg.frame_num_tokens,
+        cfg.vision_hidden_size).astype(np.float32)
+
+    def run(p, ctx=None):
+        eng = LiveInferEngine(p, tok, cfg, kv_capacity=1024)
+        eng.load_video(feats)
+        eng.input_query_stream("what now?", video_time=1.0)
+        out = []
+        for i in range(n_frames):
+            eng.input_video_stream(i / eng.frame_fps)
+            while True:
+                q, r = eng()
+                if r is None:
+                    break
+                out.append((q, r))
+        return out
+
+    ref = run(params)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    sharded = step_mod.shard_params(params, mesh, policy="tp")
+    with mesh:
+        got = run(sharded)
+    assert got == ref
+    assert len(ref) >= 1

@@ -41,10 +41,26 @@ class MultiStreamEngine:
                  cfg: Optional[LiveConfig] = None, *, num_streams: int = 8,
                  kv_capacity: int = 8192, frame_fps: Optional[float] = None,
                  max_new_tokens: Optional[int] = None, attn_impl=None,
-                 chunk_frames: int = CHUNK_FRAMES):
+                 chunk_frames: int = CHUNK_FRAMES,
+                 stream_window: Optional[int] = None):
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
+        # infinite-stream batched serving: same contract as the
+        # single-stream engine's stream_window (windowed attention + ring
+        # compaction via pos_base); each stream compacts independently
+        self.stream_window = stream_window
+        if stream_window is not None:
+            import dataclasses
+            need = (stream_window + TEXT_BUCKET
+                    + chunk_frames * (self.cfg.frame_num_tokens + 1)
+                    + PROMPT_BUCKET
+                    + (max_new_tokens or self.cfg.max_response_tokens))
+            assert kv_capacity >= need, (
+                f"kv_capacity {kv_capacity} too small for stream_window "
+                f"{stream_window}: needs >= {need}")
+            self.cfg = self.cfg.replace(llama=dataclasses.replace(
+                self.cfg.llama, sliding_window=stream_window))
         self.N = num_streams
         self.kv_capacity = kv_capacity
         self.frame_fps = frame_fps or self.cfg.frame_fps
@@ -236,6 +252,8 @@ class MultiStreamEngine:
 
         self._frame_step = jax.jit(frame_step, donate_argnums=(1,))
         self._chunk_step = jax.jit(chunk_step, donate_argnums=(1,))
+        self._compact_jit = jax.jit(llama.compact_kv_cache,
+                                    donate_argnums=(0,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._project = jax.jit(
@@ -334,14 +352,25 @@ class MultiStreamEngine:
             # stream; an overflow would silently clamp the ring write
             write_len = (TEXT_BUCKET + self.fnt if max_burst <= 1 else
                          TEXT_BUCKET + K * self.fnt + (K - 1) * itv)
-            for i in range(self.N):
-                if active[i] and (int(self._host_offsets[i]) + write_len
-                                  + PROMPT_BUCKET
-                                  + self.max_new) > self.kv_capacity:
-                    raise RuntimeError(
-                        f"stream {i}: KV ring capacity {self.kv_capacity} "
-                        f"would be exceeded "
-                        f"(offset {int(self._host_offsets[i])})")
+            budget = write_len + PROMPT_BUCKET + self.max_new
+            over = [i for i in range(self.N) if active[i]
+                    and int(self._host_offsets[i]) + budget > self.kv_capacity]
+            if over and self.stream_window is not None:
+                # compact every stream past its window (streams at or under
+                # the window are untouched: keep=min(window, offset))
+                self.cache = self._compact_jit(
+                    self.cache, jnp.asarray(self.stream_window, jnp.int32))
+                self._host_offsets = np.minimum(self._host_offsets,
+                                                self.stream_window)
+                over = [i for i in over
+                        if int(self._host_offsets[i]) + budget
+                        > self.kv_capacity]
+            for i in over:
+                raise RuntimeError(
+                    f"stream {i}: KV ring capacity {self.kv_capacity} "
+                    f"would be exceeded "
+                    f"(offset {int(self._host_offsets[i])}); raise "
+                    f"kv_capacity or set stream_window")
 
         fire = np.zeros((self.N,), bool)
         next_id = np.zeros((self.N,), np.int32)
