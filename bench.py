@@ -17,7 +17,7 @@ Env knobs:
                  engine() loop; 'chunk' is the peak-ingest upper bound of
                  the raw chunked step, 'frame' the one-frame-per-dispatch
                  kernel path)
-  BENCH_QUANT  = 1 | int8              (weight-only int8 for other sizes)
+  BENCH_QUANT  = 1 | int8 | int4       (weight-only quant; 8b defaults int8)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
                  itself from BENCH_FRAMES if larger)
@@ -71,13 +71,16 @@ def main():
     cfg = tok.cfg
 
     key = jax.random.PRNGKey(0)
-    if os.environ.get("BENCH_QUANT", "") in ("1", "int8") or size == "8b":
-        # 8B bf16 exceeds one v5e chip; weight-only int8 is the single-chip
-        # serving configuration (models/quant.py) — built directly in int8
-        # so the bf16 staging copy never exists on device
+    quant_env = os.environ.get("BENCH_QUANT", "")
+    if quant_env in ("1", "int8", "int4", "4", "8") or size == "8b":
+        # 8B bf16 exceeds one v5e chip; weight-only int8 (default) or int4
+        # is the single-chip serving configuration (models/quant.py) — built
+        # directly quantized so the bf16 staging copy never exists on device
         from videollm_online_tpu.models import quant
+        bits = 4 if quant_env in ("int4", "4") else 8
         params = {
-            "llama": quant.random_quantized_llama_params(key, cfg.llama),
+            "llama": quant.random_quantized_llama_params(key, cfg.llama,
+                                                         bits=bits),
             "connector": live.init_connector(jax.random.fold_in(key, 1), cfg),
         }
     else:
@@ -198,15 +201,15 @@ def main():
         chunk = jax.random.normal(
             key, (CHUNK_FRAMES, cfg.frame_num_tokens, D), jnp.bfloat16)
         k_frames = jnp.asarray(CHUNK_FRAMES, jnp.int32)
-        cache, consumed, fire, nid = engine._ingest_chunk(
+        cache, packed = engine._ingest_chunk(
             params, cache, text, n_text, chunk, k_frames, thr)
-        _ = int(nid)
+        _ = int(packed[2])
         iters = max(n_frames // CHUNK_FRAMES, 1)
         t0 = time.perf_counter()
         for _ in range(iters):
-            cache, consumed, fire, nid = engine._ingest_chunk(
+            cache, packed = engine._ingest_chunk(
                 params, cache, text, n_text, chunk, k_frames, thr)
-        _ = (int(nid), int(cache.offset[0]))
+        _ = (int(packed[2]), int(cache.offset[0]))
         dt = time.perf_counter() - t0
         fps = iters * CHUNK_FRAMES / dt
         metric = f"streaming_sustained_ingest_fps_{size}"

@@ -54,3 +54,92 @@ def test_quantized_forward_close():
     # greedy argmax path mostly unchanged
     agree = (ref.argmax(-1) == got.argmax(-1)).mean()
     assert agree > 0.9
+
+
+# ------------------------------------------------------------------- int4
+
+def test_int4_roundtrip_error_small():
+    """Group-wise int4 dequant error stays within the 4-bit grid step."""
+    cfg, _, params = _setup()
+    w = params["llama"]["layers"]["wq"]  # (L, D, q_dim)
+    qw = quant.quantize_weight_int4(w, group=w.shape[1] // 2)
+    assert qw["q4p"].dtype == jnp.int8
+    assert qw["q4p"].shape == (w.shape[0], w.shape[1] // 2, w.shape[2])
+    assert qw["scale"].shape == (w.shape[0], 2, w.shape[2])
+    back = quant.dequantize_weight(qw, dtype=jnp.float32)
+    # max error <= scale/2 per group
+    err = jnp.abs(back - w.astype(jnp.float32))
+    bound = jnp.repeat(qw["scale"] / 2 + 1e-8, w.shape[1] // 2, axis=1)
+    assert bool(jnp.all(err <= bound))
+
+
+def test_int4_matmul_matches_dequantized():
+    """quantized_matmul's fused dequant == explicit dequantize + matmul."""
+    cfg, _, params = _setup()
+    w = params["llama"]["layers"]["w_up"][0]  # (D, F)
+    qw = quant.quantize_weight_int4(w, group=32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, w.shape[0]),
+                          jnp.bfloat16)
+    fused = quant.quantized_matmul(x, qw)
+    explicit = x @ quant.dequantize_weight(qw, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(explicit, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_int4_forward_close():
+    cfg, tok, params = _setup()
+    # tiny config hidden dims are small; use a small group so there are
+    # multiple groups per matrix
+    qparams = dict(params)
+    qparams["llama"] = quant.quantize_llama_params(params["llama"], bits=4)
+    # embedding stays int8 under int4 (gather path)
+    assert "q8" in qparams["llama"]["embed"]
+    assert "q4p" in qparams["llama"]["layers"]["wq"]
+    ids = jnp.asarray(np.random.RandomState(0).randint(
+        0, cfg.llama.vocab_size, (1, 24)))
+    ref, _, _ = live.forward(params, cfg, input_ids=ids)
+    got, _, _ = live.forward(qparams, cfg, input_ids=ids)
+    a = np.asarray(ref, np.float32)[0, -1]
+    b = np.asarray(got, np.float32)[0, -1]
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    # tiny random 4-layer net amplifies 4-bit noise; real checkpoints with
+    # group-128 scales sit much closer (this is a mechanics test)
+    assert cos > 0.98
+
+
+def test_int4_memory_quarter():
+    cfg, _, params = _setup()
+    q4 = quant.quantize_llama_params(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)["llama"],
+        bits=4)
+    q8 = quant.quantize_llama_params(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)["llama"],
+        bits=8)
+    # layer matrices: int4 bytes ~half of int8 (embed stays int8; scales add
+    # a small overhead)
+    b4 = quant.param_bytes(q4["layers"])
+    b8 = quant.param_bytes(q8["layers"])
+    assert b4 < b8 * 0.62
+
+
+def test_int4_engine_serves():
+    """The serving engine runs end-to-end on int4 weights."""
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+    cfg, tok, params = _setup()
+    qparams = dict(params)
+    qparams["llama"] = quant.quantize_llama_params(params["llama"], bits=4)
+    eng = LiveInferEngine(qparams, tok, cfg, kv_capacity=2048)
+    feats = np.random.RandomState(1).randn(
+        8, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+    eng.load_video(feats)
+    eng.input_query_stream("hi", video_time=0.0)
+    eng.input_video_stream(8 / cfg.frame_fps)
+    got_response = False
+    for _ in range(16):
+        q, r = eng()
+        if r is not None:
+            got_response = True
+        if not eng.frame_embeds_queue:
+            break
+    assert got_response

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--size", default="8b", choices=["8b", "7b", "tiny"])
     p.add_argument("--int8", action="store_true",
                    help="store the decoder weight-only int8 (serving)")
+    p.add_argument("--int4", action="store_true",
+                   help="store the decoder weight-only int4 (group-128 "
+                        "scales; embedding stays int8)")
     args = p.parse_args()
 
     from videollm_online_tpu.core.config import (LlamaConfig, VisionConfig,
@@ -40,7 +43,9 @@ def main():
         cfg = (mistral_7b_config() if args.family == "mistral"
                else LlamaConfig())
         params = convert.llama_params_from_state_dict(sd, cfg)
-        if args.int8:
+        if args.int4:
+            params = quant.quantize_llama_params(params, bits=4)
+        elif args.int8:
             params = quant.quantize_llama_params(params)
     save_params(args.dst, params)
     n = sum(x.size for x in __import__("jax").tree.leaves(params))

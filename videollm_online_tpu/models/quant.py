@@ -1,14 +1,31 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8 / int4 quantization for serving.
 
 The 8B decoder in bf16 (16 GB) exceeds a single v5e chip's 15.75 GB HBM;
 per-channel symmetric int8 weights halve that (8 GB) and also halve the
-weight-streaming HBM traffic that dominates batch-1 decode. Computation
-stays bf16 on the MXU: int8 blocks are converted on the fly and the
-per-output-channel scale folds into the matmul epilogue (XLA fuses both).
+weight-streaming HBM traffic that dominates batch-1 decode. int4 halves it
+again (AWQ/GPTQ-style group-wise symmetric scales, default group=128 along
+the reduction dim) — batch-1 decode is weight-bandwidth-bound, so weight
+bytes translate ~directly into tokens/s. Computation stays bf16 on the MXU:
+quantized blocks are converted on the fly and the scales fold into the
+matmul's weight operand (XLA fuses the dequant into its weight streaming).
 
-Quantized leaves are ``{"q8": int8 (in, out), "scale": (out,) f32}`` dicts;
-models.llama.dense/embed_tokens/lm_head transparently accept them. The
-connector, norms and LoRA adapters stay in bf16 (tiny)."""
+Quantized leaves are dicts the model code dispatches on
+(models.llama.dense/embed_tokens/lm_head accept them transparently):
+
+  int8: ``{"q8": int8 (in, out), "scale": (out,) f32}`` — per-out-channel
+  int4: ``{"q4p": int8 (in/2, out), "scale": (in/group, out) f32}`` —
+        group-wise scales; values NIBBLE-PACKED two-per-byte along the
+        reduction dim: byte i holds row ``i`` in its low nibble and row
+        ``i + in/2`` in its high nibble, so unpacking is two arithmetic
+        shifts + one concatenation (NO interleave — the halves land in
+        original row order). Native ``jnp.int4`` is deliberately NOT used
+        for storage: s4 arrays cannot cross the jit boundary on the axon
+        tunnel platform (RecursionError in jit dispatch), and packed int8
+        is portable everywhere with identical HBM traffic.
+
+The connector, norms and LoRA adapters stay in bf16 (tiny); the embedding
+table stays int8 even under int4 (it is read by GATHER — a handful of rows
+per step, not a streaming bottleneck — and nibble-gathers lower poorly)."""
 
 from __future__ import annotations
 
@@ -18,10 +35,12 @@ import jax
 import jax.numpy as jnp
 
 QUANT_KEY = "q8"
+QUANT4_KEY = "q4p"
+INT4_GROUP = 128  # reduction-dim group size for int4 scales
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and QUANT_KEY in leaf
+    return isinstance(leaf, dict) and (QUANT_KEY in leaf or QUANT4_KEY in leaf)
 
 
 def quantize_weight(w: jax.Array, axis: int = 0) -> Dict[str, jax.Array]:
@@ -36,8 +55,58 @@ def quantize_weight(w: jax.Array, axis: int = 0) -> Dict[str, jax.Array]:
 
 def dequantize_weight(qw: Dict[str, jax.Array], axis: int = 0,
                       dtype=jnp.bfloat16) -> jax.Array:
+    if QUANT4_KEY in qw:
+        return _dequantize_int4(qw, jnp.float32).astype(dtype)
     scale = jnp.expand_dims(qw["scale"], axis)
     return (qw[QUANT_KEY].astype(jnp.float32) * scale).astype(dtype)
+
+
+def quantize_weight_int4(w: jax.Array, group: int = INT4_GROUP
+                         ) -> Dict[str, jax.Array]:
+    """Symmetric group-wise int4 over the reduction dim, which must be the
+    SECOND-TO-LAST axis (``(..., in, out)`` — the layout of every stacked
+    decoder matrix and the lm_head). Values live in [-7, 7] (symmetric, the
+    -8 code unused) and are nibble-packed two rows per byte: byte ``i``
+    holds row ``i`` (low nibble) and row ``i + in/2`` (high nibble).
+    Scales are f32 ``(..., in/group, out)`` over the ORIGINAL row order."""
+    *lead, d_in, d_out = w.shape
+    group = min(group, d_in)  # small (test-size) matrices: one group
+    assert d_in % group == 0, (d_in, group)
+    assert d_in % 2 == 0, d_in
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // group, group, d_out)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7)
+    q = q.reshape(*lead, d_in, d_out).astype(jnp.int8)
+    packed = _pack_nibbles(q)
+    return {QUANT4_KEY: packed, "scale": jnp.squeeze(scale, -2)}
+
+
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """int8 values in [-7,7] (..., in, out) -> (..., in/2, out) packed."""
+    d_in = q.shape[-2]
+    lo = q[..., : d_in // 2, :]
+    hi = q[..., d_in // 2:, :]
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_nibbles(p: jax.Array, dtype) -> jax.Array:
+    """(..., in/2, out) packed int8 -> (..., in, out) values in ``dtype``.
+    Two arithmetic shifts sign-extend the nibbles; the concat restores the
+    original row order (lows were rows [0, in/2), highs [in/2, in))."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
+
+
+def _dequantize_int4(qw: Dict[str, jax.Array], dtype) -> jax.Array:
+    q = _unpack_nibbles(qw[QUANT4_KEY], dtype)
+    scale = qw["scale"]
+    *lead, d_in, d_out = q.shape
+    n_groups = scale.shape[-2]
+    wf = q.reshape(*lead, n_groups, d_in // n_groups, d_out)
+    wf = wf * scale[..., :, None, :].astype(dtype)
+    return wf.reshape(*lead, d_in, d_out)
 
 
 def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
@@ -53,13 +122,23 @@ def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     token. A per-matmul kernel cannot win the decode path; the winning shape
     would be one fused whole-layer kernel. The kernel was deleted (see git
     history / BENCH_NOTES.md)."""
+    if QUANT4_KEY in qw:
+        # group-wise scales cannot fold into the epilogue; dequantize into
+        # the matmul's weight operand (XLA fuses convert+mul into its weight
+        # streaming — the HBM read stays int4-sized)
+        return x @ _dequantize_int4(qw, x.dtype)
     w = qw[QUANT_KEY].astype(x.dtype)
     y = x @ w
     return y * qw["scale"].astype(x.dtype)
 
 
-def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize all big decoder matrices; everything else passes through."""
+def quantize_llama_params(params: Dict[str, Any], bits: int = 8
+                          ) -> Dict[str, Any]:
+    """Quantize all big decoder matrices; everything else passes through.
+    ``bits`` = 8 (per-channel) or 4 (group-wise; embedding stays int8)."""
+    assert bits in (8, 4), bits
+    quant_mat = (quantize_weight_int4 if bits == 4
+                 else lambda w: quantize_weight(w, axis=-2))
     out = {}
     out["embed"] = quantize_weight(params["embed"], axis=1)  # per-row
     out["final_norm"] = params["final_norm"]
@@ -68,17 +147,17 @@ def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
         if name in ("attn_norm", "mlp_norm"):
             layers[name] = w
         else:
-            # stacked (L, in, out): reduce over in (axis=1)
-            layers[name] = quantize_weight(w, axis=1)
+            layers[name] = quant_mat(w)  # stacked (L, in, out)
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = quantize_weight(params["lm_head"], axis=0)
+        out["lm_head"] = quant_mat(params["lm_head"])
     return out
 
 
-def quantize_live_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_live_params(params: Dict[str, Any], bits: int = 8
+                         ) -> Dict[str, Any]:
     out = dict(params)
-    out["llama"] = quantize_llama_params(params["llama"])
+    out["llama"] = quantize_llama_params(params["llama"], bits=bits)
     return out
 
 
@@ -86,15 +165,27 @@ def param_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def random_quantized_llama_params(key: jax.Array, cfg) -> Dict[str, Any]:
-    """Build an int8-quantized decoder DIRECTLY (no bf16 staging copy) —
-    random init for serving benchmarks of models whose bf16 form would not
+def random_quantized_llama_params(key: jax.Array, cfg, bits: int = 8
+                                  ) -> Dict[str, Any]:
+    """Build an int8/int4-quantized decoder DIRECTLY (no bf16 staging copy)
+    — random init for serving benchmarks of models whose bf16 form would not
     fit HBM (8B on one 16 GiB v5e)."""
     import numpy as np
 
+    assert bits in (8, 4), bits
     L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
 
     def qrand(k, shape, fan_in):
+        if bits == 4:
+            # random bytes ARE valid packed nibbles — build packed directly
+            # (no full-width staging copy on device)
+            packed = jax.random.randint(
+                k, shape[:-2] + (shape[-2] // 2, shape[-1]), -128, 128,
+                jnp.int8)
+            n_groups = max(shape[-2] // INT4_GROUP, 1)
+            scale = jnp.full(shape[:-2] + (n_groups, shape[-1]),
+                             0.02 / 7.0 / np.sqrt(fan_in / D), jnp.float32)
+            return {QUANT4_KEY: packed, "scale": scale}
         q = jax.random.randint(k, shape, -127, 128, jnp.int8)
         scale = jnp.full(shape[:-2] + (shape[-1],),
                          0.02 / 127.0 / np.sqrt(fan_in / D), jnp.float32)

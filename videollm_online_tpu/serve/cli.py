@@ -70,16 +70,20 @@ def build_engine(args):
             params = {"llama": params,
                       "connector": live.init_connector(
                           jax.random.PRNGKey(args.seed), cfg)}
-        if getattr(args, "quantize", "") == "int8":
+        if getattr(args, "quantize", "") in ("int8", "int4"):
             from ..models import quant
-            params = quant.quantize_live_params(params)
-    elif getattr(args, "quantize", "") == "int8" or args.model_size == "8b":
-        # 8B bf16 exceeds one 16GB chip; serve int8 (random init without a
-        # checkpoint — smoke/perf mode)
+            params = quant.quantize_live_params(
+                params, bits=4 if args.quantize == "int4" else 8)
+    elif getattr(args, "quantize", "") in ("int8", "int4") \
+            or args.model_size == "8b":
+        # 8B bf16 exceeds one 16GB chip; serve int8/int4 (random init
+        # without a checkpoint — smoke/perf mode)
         from ..models import quant
         key = jax.random.PRNGKey(args.seed)
+        bits = 4 if getattr(args, "quantize", "") == "int4" else 8
         params = {
-            "llama": quant.random_quantized_llama_params(key, cfg.llama),
+            "llama": quant.random_quantized_llama_params(key, cfg.llama,
+                                                         bits=bits),
             "connector": live.init_connector(jax.random.fold_in(key, 1), cfg),
         }
     else:
@@ -108,9 +112,9 @@ def main(argv=None):
     p.add_argument("--model_size", default="tiny",
                    choices=["tiny", "1b", "8b"])
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--quantize", default="", choices=["", "int8"],
-                   help="weight-only int8 (implied for --model_size 8b "
-                        "without a checkpoint)")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int4"],
+                   help="weight-only int8/int4 (int8 implied for "
+                        "--model_size 8b without a checkpoint)")
     p.add_argument("--with_vision", action="store_true")
     p.add_argument("--query", default="Please narrate the video in real time.")
     p.add_argument("--num_ticks", type=int, default=100)

@@ -39,6 +39,7 @@ from ..tokenizer.live_tokenizer import LiveTokenizer
 TEXT_BUCKET = 4        # in-burst prepend: '' | ',' | eos + '\n['
 PROMPT_BUCKETS = (32, 64, 128, 256)  # prefill / query-response prompts
 CHUNK_FRAMES = 8       # frames per chunked-ingest dispatch (catch-up bursts)
+BURST_BUCKETS = (32, 64)  # whole-burst device loop: frames per dispatch
 
 
 def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
@@ -60,7 +61,14 @@ class LiveInferEngine:
         attn_impl=None,
         encoder_device=None,
         stream_window: Optional[int] = None,
+        fused_respond: bool = True,
     ):
+        # fused_respond: run response arbitration + generation INSIDE the
+        # ingest dispatch (one dispatch + one packed readback per streaming
+        # step, vs ingest-readback-respond-readback). Transcripts are
+        # test-proven identical to the two-dispatch path; False keeps the
+        # two-dispatch path (A/B + oracle tests).
+        self.fused_respond = fused_respond
         # encoder_device: place the vision tower on a different chip so
         # frame encoding genuinely overlaps decoder work (the paper claims
         # this parallelism; the released reference time-multiplexes one GPU,
@@ -150,11 +158,11 @@ class LiveInferEngine:
             fire = next_id != gate_ref_id
             return fire, next_id
 
-        def ingest_burst(params, cache, first_text, first_n, frames, n_frames,
-                         threshold):
-            """frames: (K, fnt, hidden) connector outputs. Early-exits on
-            gate fire. Returns (cache, consumed, fire, next_id)."""
-            K = frames.shape[0]
+        def _burst_core(params, cache, first_text, first_n, frames, n_frames,
+                        threshold):
+            """frames: (K, fnt, hidden) connector outputs, one forward per
+            frame in a device-side while_loop; early-exits on gate fire.
+            Returns (cache, consumed, fire, next_id)."""
             interval_text = jnp.zeros((TEXT_BUCKET,), jnp.int32)
             interval_text = interval_text.at[-1].set(
                 gate_ref_id if use_interval else 0)
@@ -186,14 +194,21 @@ class LiveInferEngine:
             i, cache, fire, next_id = jax.lax.while_loop(
                 cond, body, (jnp.asarray(0, jnp.int32), cache,
                              jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+            return cache, i, fire, next_id
+
+        def ingest_burst(params, cache, first_text, first_n, frames, n_frames,
+                         threshold):
+            cache, i, fire, next_id = _burst_core(
+                params, cache, first_text, first_n, frames, n_frames,
+                threshold)
             # ONE packed int32 readback (consumed, fire, next_id, offset):
             # through the tunnel every host readback is a full RTT
             packed = jnp.stack([i, fire.astype(jnp.int32), next_id,
                                 cache.offset[0]])
             return cache, packed
 
-        def ingest_chunk(params, cache, first_text, first_n, frames, n_frames,
-                         threshold):
+        def _chunk_core(params, cache, first_text, first_n, frames, n_frames,
+                        threshold):
             """Process up to CHUNK_FRAMES frames in ONE forward: tokens are
             laid out exactly as the sequential loop would have fed them in
             the non-fired steady state ([prepend] f0 , f1 , f2 ...), gates
@@ -202,11 +217,11 @@ class LiveInferEngine:
             written past it are exactly what trim_past_key_values would have
             dropped (never attended, overwritten later). One weight-streaming
             pass amortizes over the whole chunk (~CHUNK x less HBM traffic
-            than per-frame steps on memory-bound models)."""
+            than per-frame steps on memory-bound models).
+            Returns (cache, consumed, any_fire, next_id)."""
             K = frames.shape[0]  # static CHUNK_FRAMES
             itv = 1 if use_interval else 0
             per = fnt + itv
-            total = TEXT_BUCKET + K * fnt + (K - 1) * itv
 
             t_emb = llama.embed_tokens(params["llama"], first_text[None],
                                        cfg.llama)[0]  # (TEXT_BUCKET, D)
@@ -257,9 +272,136 @@ class LiveInferEngine:
             base = cache.offset - valid_tokens  # offset before this append
             cache = cache._replace(offset=base + consumed_tokens)
             last_idx = jnp.clip(consumed - 1, 0, K - 1)
+            return cache, consumed, any_fire, next_ids[last_idx]
+
+        def ingest_chunk(params, cache, first_text, first_n, frames, n_frames,
+                         threshold):
+            cache, consumed, any_fire, next_id = _chunk_core(
+                params, cache, first_text, first_n, frames, n_frames,
+                threshold)
             packed = jnp.stack([consumed, any_fire.astype(jnp.int32),
-                                next_ids[last_idx], cache.offset[0]])
+                                next_id, cache.offset[0]])
             return cache, packed
+
+        max_new = cfg.max_response_tokens
+
+        def _respond_tail(params, cache, consumed, n_frames, any_fire,
+                          next_id, query_ids, query_n, gen_ids, gen_n,
+                          query_at_end):
+            """Device-side response arbitration + generation, fused behind
+            an ingest step. Mirrors the host logic of
+            _stream_until_trigger/_respond_at exactly:
+              * burst completed AND a query waits at/before the last frame's
+                time -> QUERY response (this also covers the reference's
+                query-priority rule when the gate fires at the query's exact
+                frame, demo/inference.py:72-81);
+              * gate fired earlier in the burst -> gate response with the
+                static ']\\nAssistant:' prompt (demo/inference.py:43-45);
+              * otherwise no response.
+            Both prompts ride in the SAME bucket; selection is on device so
+            the whole decision costs zero extra host round-trips."""
+            full = consumed == n_frames
+            query_triggers = jnp.logical_and(full, query_at_end)
+            use_gen = jnp.logical_and(any_fire,
+                                      jnp.logical_not(query_triggers))
+            do_respond = jnp.logical_or(any_fire, query_triggers)
+            sel_ids = jnp.where(use_gen, gen_ids, query_ids)
+            sel_n = jnp.where(use_gen, gen_n, query_n)
+
+            def respond_branch(cache):
+                embeds = llama.embed_tokens(params["llama"], sel_ids,
+                                            cfg.llama)
+                embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
+                out_ids, length, cache = gen_mod.greedy_generate(
+                    params, cfg, cache, embeds, sel_n[None],
+                    max_new_tokens=max_new, attn_impl=self.attn_impl)
+                return cache, length[0], out_ids[0]
+
+            def no_respond(cache):
+                return (cache, jnp.asarray(0, jnp.int32),
+                        jnp.zeros((max_new,), jnp.int32))
+
+            cache, length, out_ids = jax.lax.cond(
+                do_respond, respond_branch, no_respond, cache)
+            # ONE packed readback for the whole step:
+            # [consumed, fire, next_id, responded, used_gen, resp_len,
+            #  offset, resp ids...]
+            packed = jnp.concatenate([
+                jnp.stack([consumed, any_fire.astype(jnp.int32), next_id,
+                           do_respond.astype(jnp.int32),
+                           use_gen.astype(jnp.int32), length,
+                           cache.offset[0]]),
+                out_ids])
+            return cache, packed
+
+        def ingest_chunk_respond(params, cache, first_text, first_n, frames,
+                                 n_frames, threshold, query_ids, query_n,
+                                 gen_ids, gen_n, query_at_end):
+            cache, consumed, any_fire, next_id = _chunk_core(
+                params, cache, first_text, first_n, frames, n_frames,
+                threshold)
+            return _respond_tail(params, cache, consumed, n_frames, any_fire,
+                                 next_id, query_ids, query_n, gen_ids, gen_n,
+                                 query_at_end)
+
+        def _multichunk_core(params, cache, first_text, first_n, frames,
+                             n_frames, threshold):
+            """Whole-burst ingest: a device-side while_loop over CHUNK_FRAMES
+            chunk steps — a catch-up burst of up to frames.shape[0] frames
+            runs in ONE dispatch, early-exiting at the first gate fire. A
+            non-fired chunk's predicted continuation IS the interval token
+            (fire is defined as next_id != interval), so feeding the static
+            interval prepend between chunks is exactly the sequential
+            engine's behavior."""
+            M = frames.shape[0]  # static burst bucket, multiple of CHUNK
+            interval_text = jnp.zeros((TEXT_BUCKET,), jnp.int32)
+            interval_text = interval_text.at[-1].set(
+                gate_ref_id if use_interval else 0)
+            interval_n = jnp.asarray(1 if use_interval else 0, jnp.int32)
+
+            def cond(st):
+                c, _, consumed, fire, _ = st
+                return jnp.logical_and(consumed < n_frames,
+                                       jnp.logical_not(fire))
+
+            def body(st):
+                c, cache, consumed, _, _ = st
+                base = c * CHUNK_FRAMES
+                chunk = jax.lax.dynamic_slice(
+                    frames, (base, 0, 0), (CHUNK_FRAMES, fnt, self.hidden))
+                k = jnp.minimum(n_frames - base, CHUNK_FRAMES)
+                text = jnp.where(c == 0, first_text, interval_text)
+                ntext = jnp.where(c == 0, first_n, interval_n)
+                cache, cons, fire, nid = _chunk_core(
+                    params, cache, text, ntext, chunk, k, threshold)
+                return c + 1, cache, consumed + cons, fire, nid
+
+            _, cache, consumed, fire, next_id = jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(0, jnp.int32), cache,
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32)))
+            return cache, consumed, fire, next_id
+
+        def ingest_burstloop_respond(params, cache, first_text, first_n,
+                                     frames, n_frames, threshold, query_ids,
+                                     query_n, gen_ids, gen_n, query_at_end):
+            cache, consumed, any_fire, next_id = _multichunk_core(
+                params, cache, first_text, first_n, frames, n_frames,
+                threshold)
+            return _respond_tail(params, cache, consumed, n_frames, any_fire,
+                                 next_id, query_ids, query_n, gen_ids, gen_n,
+                                 query_at_end)
+
+        def ingest_burst_respond(params, cache, first_text, first_n, frames,
+                                 n_frames, threshold, query_ids, query_n,
+                                 gen_ids, gen_n, query_at_end):
+            cache, consumed, any_fire, next_id = _burst_core(
+                params, cache, first_text, first_n, frames, n_frames,
+                threshold)
+            return _respond_tail(params, cache, consumed, n_frames, any_fire,
+                                 next_id, query_ids, query_n, gen_ids, gen_n,
+                                 query_at_end)
 
         def respond(params, cache, prompt_ids, num_valid):
             embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
@@ -279,6 +421,12 @@ class LiveInferEngine:
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
         self._ingest_chunk = jax.jit(ingest_chunk, donate_argnums=(1,))
+        self._ingest_chunk_respond = jax.jit(ingest_chunk_respond,
+                                             donate_argnums=(1,))
+        self._ingest_burst_respond = jax.jit(ingest_burst_respond,
+                                             donate_argnums=(1,))
+        self._ingest_burstloop_respond = jax.jit(ingest_burstloop_respond,
+                                                 donate_argnums=(1,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
@@ -399,10 +547,166 @@ class LiveInferEngine:
         Returns (query, response) like demo/inference.py:117-124."""
         if not self.frame_embeds_queue:
             return None, None
+        if self.fused_respond:
+            return self._call_fused()
         video_time, query = self._stream_until_trigger()
         if video_time is None:
             return None, None
         return self._respond_at(video_time, query)
+
+    def _call_fused(self) -> Tuple[Optional[str], Optional[str]]:
+        """The fused streaming step: each device dispatch ingests a frame
+        burst AND (when the gate fires or a queued query comes due) generates
+        the response in the same program — one packed readback carries
+        [consumed, fire, next_id, responded, used_gen, resp_len, offset,
+        response ids]. Control flow and transcripts are identical to
+        _stream_until_trigger + _respond_at (oracle-equality tested)."""
+        while self.frame_embeds_queue:
+            # 1. query strictly earlier than the next frame -> answer now
+            #    (no frames to ingest first; standalone respond dispatch)
+            if self.query_queue and \
+                    self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
+                t, q = self.query_queue.popleft()
+                self._pending_prepend = []
+                return self._respond_at(t, q)
+            qt = self.query_queue[0][0] if self.query_queue else None
+            burst_times, burst_embeds = [], []
+            for t, e in self.frame_embeds_queue:
+                if qt is not None and t > qt:
+                    break
+                burst_times.append(t)
+                burst_embeds.append(e)
+            if not burst_times:
+                t, q = self.query_queue.popleft()
+                self._pending_prepend = []
+                return self._respond_at(t, q)
+            query_at_end = qt is not None and burst_times[-1] >= qt
+
+            # prompts for the fused response tail (device selects which)
+            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
+            if query_at_end:
+                query_prompt = self.tokenizer.apply_chat_template(
+                    [{"role": "user", "content": self.query_queue[0][1]}],
+                    tokenize=True, add_stream_query_prompt=True,
+                    add_generation_prompt=True)
+            else:
+                query_prompt = gen_prompt
+            n_max = max(len(gen_prompt), len(query_prompt))
+            bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
+            gen_buf = np.zeros((1, bucket), np.int32)
+            gen_buf[0, bucket - len(gen_prompt):] = gen_prompt
+            query_buf = np.zeros((1, bucket), np.int32)
+            query_buf[0, bucket - len(query_prompt):] = query_prompt
+
+            # capacity guard: burst + the worst prompt bucket + response
+            worst = (self._host_offset + len(burst_times)
+                     * (TEXT_BUCKET + self.frame_num_tokens)
+                     + bucket + self.cfg.max_response_tokens)
+            worst = self._maybe_compact(worst)
+            if worst > self.kv_capacity:
+                raise RuntimeError(
+                    f"KV ring capacity {self.kv_capacity} would be exceeded "
+                    f"(offset {self._host_offset}); raise "
+                    f"kv_capacity, set stream_window, or reset() the stream")
+
+            first_text, first_n = self._take_prepend()
+            thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
+                              jnp.float32)
+            jq = jnp.asarray(query_buf)
+            jg = jnp.asarray(gen_buf)
+            jqn = jnp.asarray(len(query_prompt), jnp.int32)
+            jgn = jnp.asarray(len(gen_prompt), jnp.int32)
+
+            n = len(burst_embeds)
+            iv = self.cfg.frame_token_interval_id
+            cont_text = np.zeros((TEXT_BUCKET,), np.int32)
+            if iv is not None:
+                cont_text[-1] = iv
+            cont_n = 1 if iv is not None else 0
+
+            i = 0
+            text, ntext = first_text, first_n
+            while i < n:
+                rem = n - i
+                if rem > CHUNK_FRAMES:
+                    # whole-burst device loop: up to BURST_BUCKETS[-1]
+                    # frames in ONE dispatch (while_loop over chunk steps)
+                    bucket = next((b for b in BURST_BUCKETS if b >= rem),
+                                  BURST_BUCKETS[-1])
+                    group = burst_embeds[i:i + bucket]
+                    k = len(group)
+                    last_chunk = (i + k) >= n
+                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    frames = jnp.stack(list(group)
+                                       + [group[-1]] * (bucket - k))
+                    self.cache, packed = self._ingest_burstloop_respond(
+                        self.params, self.cache, text, ntext, frames,
+                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
+                        qae)
+                elif n >= 2:
+                    group = burst_embeds[i:i + CHUNK_FRAMES]
+                    k = len(group)
+                    last_chunk = (i + k) >= n
+                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    frames = jnp.stack(list(group)
+                                       + [group[-1]] * (CHUNK_FRAMES - k))
+                    self.cache, packed = self._ingest_chunk_respond(
+                        self.params, self.cache, text, ntext, frames,
+                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
+                        qae)
+                else:
+                    group = burst_embeds[i:i + CHUNK_FRAMES]
+                    k = len(group)
+                    last_chunk = (i + k) >= n
+                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    frames = jnp.stack(list(group))
+                    self.cache, packed = self._ingest_burst_respond(
+                        self.params, self.cache, text, ntext, frames,
+                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
+                        qae)
+                packed = np.asarray(packed)  # the step's ONE readback
+                consumed = int(packed[0])
+                fire = bool(packed[1])
+                next_id = int(packed[2])
+                responded = bool(packed[3])
+                used_gen = bool(packed[4])
+                resp_len = int(packed[5])
+                self._host_offset = int(packed[6])
+                for _ in range(consumed):
+                    self.frame_embeds_queue.popleft()
+                if consumed:
+                    self.video_time_processed = burst_times[i + consumed - 1]
+                if responded:
+                    out = packed[7:7 + resp_len]
+                    if used_gen:
+                        video_time = burst_times[i + consumed - 1]
+                        query = None
+                    else:
+                        video_time, query = self.query_queue.popleft()
+                    return self._finish_response(out, video_time, query)
+                if consumed:
+                    self._pending_prepend = [next_id] if iv is not None else []
+                text = jnp.asarray(cont_text)
+                ntext = jnp.asarray(cont_n, jnp.int32)
+                i += consumed
+        return None, None
+
+    def _finish_response(self, out_ids: np.ndarray, video_time, query
+                         ) -> Tuple[Optional[str], str]:
+        """Shared transcript/prepend bookkeeping after a response (fused or
+        standalone): the final token (EOS or budget-limited last) is NOT in
+        the cache — it is fed with the next frame append, after the stream
+        reopen ids when it is EOS (reference demo/inference.py:64-66)."""
+        out = np.asarray(out_ids, np.int32)
+        if out.size and out[-1] == self.cfg.eos_token_id:
+            self._pending_prepend = [int(out[-1])] + list(
+                self._stream_prompt_ids)
+        elif out.size:
+            self._pending_prepend = [int(out[-1])]
+        response = self.tokenizer.decode(out, skip_special_tokens=True)
+        q_str = (f"(Video Time = {video_time}s) User: {query}"
+                 if query else None)
+        return q_str, f"(Video Time = {video_time}s) Assistant:{response}"
 
     # -- reference _call_for_streaming (demo/inference.py:54-82)
     def _stream_until_trigger(self):
@@ -584,11 +888,4 @@ class LiveInferEngine:
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
         out = packed[2:2 + int(packed[0])]
-        # last token (EOS) is fed with the next frame (inference.py:64-66)
-        if out.size and out[-1] == self.cfg.eos_token_id:
-            self._pending_prepend = [int(out[-1])] + list(self._stream_prompt_ids)
-        elif out.size:
-            self._pending_prepend = [int(out[-1])]
-        response = self.tokenizer.decode(out, skip_special_tokens=True)
-        q_str = f"(Video Time = {video_time}s) User: {query}" if query else None
-        return q_str, f"(Video Time = {video_time}s) Assistant:{response}"
+        return self._finish_response(out, video_time, query)
