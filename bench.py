@@ -158,6 +158,11 @@ def main():
         # a colocated host would not pay, so realtime here is a lower bound.
         pacing = os.environ.get("BENCH_PACING", "sustained")
         feed_every = 8 if pacing == "sustained" else 1
+        # BENCH_SPECULATIVE=1: pipelined per-frame ingest (serve/engine.py
+        # `speculative`) — hides the per-frame readback RTT in realtime
+        # pacing; responses may surface one call later (content-identical)
+        if os.environ.get("BENCH_SPECULATIVE", "") in ("1", "true"):
+            engine.speculative = True
 
         def run(ticks):
             engine.reset()
@@ -175,6 +180,7 @@ def main():
                     if r is None:
                         break
                     responses += 1
+            responses += len(engine.flush())  # resolve speculative tail
             # host scalar readback = reliable fence on the axon tunnel
             return responses, int(engine.cache.offset[0])
 

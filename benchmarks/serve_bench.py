@@ -29,6 +29,8 @@ def main():
     p.add_argument("--ctx", type=int, default=8192)
     p.add_argument("--streams", type=int, default=8)
     p.add_argument("--trace_dir", default="")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int4"],
+                   help="weight-only quant (8b defaults to int8)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -49,8 +51,10 @@ def main():
     tok = LiveTokenizer(ByteTokenizer(), cfg)
     cfg = tok.cfg
     key = jax.random.PRNGKey(0)
-    if args.model == "8b":
-        params = {"llama": quant.random_quantized_llama_params(key, cfg.llama),
+    if args.model == "8b" or args.quantize:
+        bits = 4 if args.quantize == "int4" else 8
+        params = {"llama": quant.random_quantized_llama_params(key, cfg.llama,
+                                                               bits=bits),
                   "connector": live.init_connector(jax.random.fold_in(key, 1), cfg)}
     else:
         params = live.init_params(key, cfg)
@@ -58,7 +62,8 @@ def main():
     D = cfg.llama.hidden_size
     fnt = cfg.frame_num_tokens
     hist = LatencyHistogram()
-    report = {"model": args.model}
+    report = {"model": args.model,
+              "quantize": args.quantize or ("int8" if args.model == "8b" else "bf16")}
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def frame_step(params, cache, frame_embeds, interval_id):

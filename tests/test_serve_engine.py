@@ -299,3 +299,55 @@ def test_fused_burstloop_large_catchup():
     tb = _run_engine(b, cfg, feats, frame_times, [])
     assert ta == tb
     assert int(a.cache.offset[0]) == int(b.cache.offset[0])
+
+
+@pytest.mark.parametrize("threshold,queries", [
+    (0.725, []),                           # fires constantly: every
+                                           # speculative dispatch rolls back
+    (0.725, [(0.5, "q1?"), (2.0, "q2?")]),  # queries flush the pipeline
+])
+def test_speculative_content_equals_blocking(threshold, queries):
+    """The speculative pipelined engine must produce the SAME transcript
+    contents as the blocking engine (responses may surface one call later;
+    flush() resolves the tail) and leave identical ring state."""
+    cfg, tok, params = _setup(threshold=threshold, seed=6)
+    n_frames = 10
+    rng = np.random.RandomState(11)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    frame_times = [i * 0.5 for i in range(n_frames)]  # one frame per tick
+
+    a = LiveInferEngine(params, tok, cfg, kv_capacity=4096,
+                        speculative=True)
+    b = LiveInferEngine(params, tok, cfg, kv_capacity=4096)
+    ta = _run_engine(a, cfg, feats, frame_times, queries)
+    ta += a.flush()
+    tb = _run_engine(b, cfg, feats, frame_times, queries)
+    assert ta == tb
+    assert len(ta) >= 1
+    assert int(a.cache.offset[0]) == int(b.cache.offset[0]) or \
+        a._host_offset == b._host_offset
+
+
+def test_speculative_with_stream_window_compaction():
+    """Speculative pipeline + infinite-stream compaction: the windowed
+    speculative engine must match the windowed blocking engine through a
+    stream long enough to force ring compactions."""
+    cfg, tok, params = _setup(threshold=0.725, seed=8)
+    n_frames = 24
+    rng = np.random.RandomState(13)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    frame_times = [i * 0.5 for i in range(n_frames)]
+    window = 96
+    cap = (window + 4 + 8 * (cfg.frame_num_tokens + 1) + 256
+           + cfg.max_response_tokens)
+    a = LiveInferEngine(params, tok, cfg, kv_capacity=cap,
+                        stream_window=window, speculative=True)
+    b = LiveInferEngine(params, tok, cfg, kv_capacity=cap,
+                        stream_window=window)
+    ta = _run_engine(a, cfg, feats, frame_times, [(5.0, "mid?")])
+    ta += a.flush()
+    tb = _run_engine(b, cfg, feats, frame_times, [(5.0, "mid?")])
+    assert ta == tb
+    assert len(ta) >= 1

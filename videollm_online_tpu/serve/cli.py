@@ -98,7 +98,8 @@ def build_engine(args):
         vision_params = siglip.init_params(jax.random.PRNGKey(1), cfg.vision)
 
     return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
-                           kv_capacity=args.kv_capacity), cfg
+                           kv_capacity=args.kv_capacity,
+                           speculative=getattr(args, "speculative", False)), cfg
 
 
 def main(argv=None):
@@ -124,6 +125,10 @@ def main(argv=None):
     p.add_argument("--kv_capacity", type=int, default=16384)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="cli_history.json")
+    p.add_argument("--speculative", action="store_true",
+                   help="pipelined per-frame ingest: dispatch the next frame "
+                        "before reading the previous gate (rolls back on "
+                        "fire); hides readback RTT on tunneled TPUs")
     args = p.parse_args(argv)
 
     engine, cfg = build_engine(args)
@@ -148,6 +153,11 @@ def main(argv=None):
             if msg:
                 history["messages"].append(
                     {"role": role, "content": msg, "fps": 1.0 / dt})
+                print(msg)
+    for query, response in engine.flush():  # speculative tail, if any
+        for role, msg in (("user", query), ("assistant", response)):
+            if msg:
+                history["messages"].append({"role": role, "content": msg})
                 print(msg)
     avg_fps = len(times) / sum(times) if times else 0.0
     history["average_processing_fps"] = avg_fps

@@ -62,6 +62,7 @@ class LiveInferEngine:
         encoder_device=None,
         stream_window: Optional[int] = None,
         fused_respond: bool = True,
+        speculative: bool = False,
     ):
         # fused_respond: run response arbitration + generation INSIDE the
         # ingest dispatch (one dispatch + one packed readback per streaming
@@ -69,6 +70,16 @@ class LiveInferEngine:
         # test-proven identical to the two-dispatch path; False keeps the
         # two-dispatch path (A/B + oracle tests).
         self.fused_respond = fused_respond
+        # speculative: pipeline per-frame realtime ingest — dispatch frame
+        # i+1 (assuming frame i's gate holds: the non-fire continuation is
+        # BY DEFINITION the interval token) before reading frame i's packed
+        # result, and start its host transfer asynchronously. On a fire the
+        # speculative dispatch is rolled back by rewinding the ring offset
+        # (its stale KV is beyond the offset: never attended, overwritten).
+        # Hides the per-frame readback latency on high-RTT links (the axon
+        # tunnel); transcripts are content-identical, but a response may
+        # surface one engine() call later than the blocking engine. Opt-in.
+        self.speculative = speculative
         # encoder_device: place the vision tower on a different chip so
         # frame encoding genuinely overlaps decoder work (the paper claims
         # this parallelism; the released reference time-multiplexes one GPU,
@@ -403,7 +414,13 @@ class LiveInferEngine:
                                  next_id, query_ids, query_n, gen_ids, gen_n,
                                  query_at_end)
 
-        def respond(params, cache, prompt_ids, num_valid):
+        def respond(params, cache, prompt_ids, num_valid, start_offset):
+            """start_offset rewinds the ring before the prompt append — the
+            host mirror in the normal path; the ROLLBACK point when a
+            speculative frame dispatch must be discarded (its stale KV
+            beyond start_offset is overwritten by the prompt/response and
+            never attended, the trim-on-fire mechanism)."""
+            cache = cache._replace(offset=start_offset)
             embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
             embeds = _pack_valid_first(embeds, prompt_ids.shape[1], num_valid)
             out_ids, length, cache = gen_mod.greedy_generate(
@@ -418,6 +435,8 @@ class LiveInferEngine:
 
         self._compact_jit = jax.jit(llama.compact_kv_cache,
                                     donate_argnums=(0,))
+        self._set_offset_jit = jax.jit(
+            lambda c, o: c._replace(offset=o), donate_argnums=(0,))
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
         self._ingest_chunk = jax.jit(ingest_chunk, donate_argnums=(1,))
@@ -478,6 +497,9 @@ class LiveInferEngine:
         self._started = False
         # pending text prepend (token ids) to feed before the next frame
         self._pending_prepend: List[int] = []
+        # speculative pipeline: unresolved single-frame dispatches, oldest
+        # first; each entry = {time, embed, packed, tokens}
+        self._spec_queue: collections.deque = collections.deque()
 
     # ------------------------------------------------------------------ I/O
     def load_video(self, video: Any):
@@ -545,6 +567,8 @@ class LiveInferEngine:
         """One streaming step: ingest queued frames until the model decides
         to respond or a query interleaves; then generate the response.
         Returns (query, response) like demo/inference.py:117-124."""
+        if self.speculative:
+            return self._call_spec()
         if not self.frame_embeds_queue:
             return None, None
         if self.fused_respond:
@@ -553,6 +577,112 @@ class LiveInferEngine:
         if video_time is None:
             return None, None
         return self._respond_at(video_time, query)
+
+    # -------------------------------------------------- speculative pipeline
+    def _spec_offset(self) -> int:
+        """Worst-case ring occupancy assuming every in-flight speculative
+        dispatch lands (exact when none fires — fires rewind)."""
+        return self._host_offset + sum(e["tokens"] for e in self._spec_queue)
+
+    def _spec_fill(self):
+        """Dispatch queued frames one at a time up to pipeline depth 2,
+        never crossing a query boundary. The assumed prepend for each next
+        frame is the interval token — exactly what a non-fired gate
+        predicts (fire is DEFINED as next_id != interval)."""
+        iv = self.cfg.frame_token_interval_id
+        thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
+                          jnp.float32)
+        while len(self._spec_queue) < 2 and self.frame_embeds_queue:
+            t, emb = self.frame_embeds_queue[0]
+            if self.query_queue and t > self.query_queue[0][0]:
+                break  # the query must be answered before this frame
+            worst = (self._spec_offset() + TEXT_BUCKET + self.frame_num_tokens
+                     + self._gen_prompt_bucket + self.cfg.max_response_tokens)
+            if worst > self.kv_capacity:
+                if self._spec_queue:
+                    break  # resolve in-flight work first, then compact
+                worst = self._maybe_compact(worst)
+                if worst > self.kv_capacity:
+                    raise RuntimeError(
+                        f"KV ring capacity {self.kv_capacity} would be "
+                        f"exceeded (offset {self._host_offset}); raise "
+                        f"kv_capacity, set stream_window, or reset()")
+            first_text, first_n, n_pre = self._take_prepend()
+            self.cache, packed = self._ingest(
+                self.params, self.cache, first_text, first_n,
+                jnp.stack([emb]), jnp.asarray(1, jnp.int32), thr)
+            try:
+                packed.copy_to_host_async()  # overlap transfer with compute
+            except Exception:
+                pass
+            self.frame_embeds_queue.popleft()
+            self._spec_queue.append({
+                "time": t, "embed": emb, "packed": packed,
+                "tokens": n_pre + self.frame_num_tokens})
+            # assumed continuation if this frame's gate holds
+            self._pending_prepend = [iv] if iv is not None else []
+
+    def _spec_discard_newer(self):
+        """Roll back newer in-flight dispatches: re-queue their frames (the
+        ring offset rewind happens in the respond dispatch that follows)."""
+        while self._spec_queue:
+            newer = self._spec_queue.pop()
+            self.frame_embeds_queue.appendleft((newer["time"],
+                                                newer["embed"]))
+
+    def _call_spec(self) -> Tuple[Optional[str], Optional[str]]:
+        # multi-frame backlog with an idle pipeline: the chunked fused path
+        # beats per-frame pipelining
+        if not self._spec_queue and len(self.frame_embeds_queue) > 1:
+            return self._call_fused()
+        self._spec_fill()
+        if self._spec_queue:
+            e = self._spec_queue.popleft()
+            packed = np.asarray(e["packed"])  # overlapped by async copy
+            fire = bool(packed[1])
+            next_id = int(packed[2])
+            offset = int(packed[3])
+            self.video_time_processed = e["time"]
+            self._host_offset = offset
+            if fire:
+                self._spec_discard_newer()
+                self._pending_prepend = []
+                if self.query_queue and e["time"] >= self.query_queue[0][0]:
+                    # reference checks the query before the gate per frame
+                    t, q = self.query_queue.popleft()
+                    return self._respond_at(t, q)
+                return self._respond_at(e["time"], None)
+            # not fired: the already-dispatched successor assumed exactly
+            # this continuation; only a due query interrupts the pipeline
+            if self.query_queue and e["time"] >= self.query_queue[0][0]:
+                self._spec_discard_newer()
+                t, q = self.query_queue.popleft()
+                self._pending_prepend = []
+                return self._respond_at(t, q)
+            return None, None
+        # idle pipeline: a query strictly earlier than the next frame
+        # answers now (the blocking engine never answers queries while the
+        # frame queue is empty — reference __call__ gates on frames)
+        if self.query_queue and self.frame_embeds_queue \
+                and self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
+            t, q = self.query_queue.popleft()
+            self._pending_prepend = []
+            return self._respond_at(t, q)
+        return None, None
+
+    def flush(self) -> List[Tuple[Optional[str], str]]:
+        """Resolve every in-flight speculative dispatch (and any still-queued
+        frames/queries they unblock), returning the responses produced.
+        No-op on the blocking engine modes."""
+        out = []
+        while self._spec_queue or (self.speculative
+                                   and self.frame_embeds_queue):
+            q, r = self._call_spec()
+            if r is not None:
+                out.append((q, r))
+            elif not self._spec_queue and not self.frame_embeds_queue:
+                break
+        return out
 
     def _call_fused(self) -> Tuple[Optional[str], Optional[str]]:
         """The fused streaming step: each device dispatch ingests a frame
@@ -609,7 +739,7 @@ class LiveInferEngine:
                     f"(offset {self._host_offset}); raise "
                     f"kv_capacity, set stream_window, or reset() the stream")
 
-            first_text, first_n = self._take_prepend()
+            first_text, first_n, _ = self._take_prepend()
             thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
                               jnp.float32)
             jq = jnp.asarray(query_buf)
@@ -740,7 +870,7 @@ class LiveInferEngine:
                     f"KV ring capacity {self.kv_capacity} would be exceeded "
                     f"(offset {self._host_offset}); raise "
                     f"kv_capacity, set stream_window, or reset() the stream")
-            first_text, first_n = self._take_prepend()
+            first_text, first_n, _ = self._take_prepend()
             thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
                               jnp.float32)
             n_burst = len(burst_times)
@@ -822,6 +952,13 @@ class LiveInferEngine:
         if worst <= self.kv_capacity or self.stream_window is None \
                 or self._host_offset <= self.stream_window:
             return worst
+        if self.speculative:
+            # discarded speculative dispatches can leave the DEVICE offset
+            # ahead of the resolved host mirror; compaction copies relative
+            # to the device offset, so rewind it first (tiny dispatch;
+            # compaction is rare)
+            self.cache = self._set_offset_jit(
+                self.cache, jnp.asarray([self._host_offset], jnp.int32))
         keep = self.stream_window
         freed = self._host_offset - keep
         self.cache = self._compact_jit(self.cache,
@@ -829,9 +966,10 @@ class LiveInferEngine:
         self._host_offset = keep
         return worst - freed
 
-    def _take_prepend(self) -> Tuple[jax.Array, jax.Array]:
+    def _take_prepend(self) -> Tuple[jax.Array, jax.Array, int]:
         """Pending text tokens for the next frame step, right-aligned in the
-        TEXT_BUCKET. First-ever step prefills the system prompt separately."""
+        TEXT_BUCKET. First-ever step prefills the system prompt separately.
+        Returns (ids_buf, n_device, n_host)."""
         if not self._started:
             self._prefill_ids(self._start_ids)
             self._started = True
@@ -841,7 +979,7 @@ class LiveInferEngine:
         buf = np.zeros((TEXT_BUCKET,), np.int32)
         if ids:
             buf[-len(ids):] = ids
-        return jnp.asarray(buf), jnp.asarray(len(ids), jnp.int32)
+        return jnp.asarray(buf), jnp.asarray(len(ids), jnp.int32), len(ids)
 
     def _prefill_ids(self, ids: np.ndarray):
         n = len(ids)
@@ -884,7 +1022,8 @@ class LiveInferEngine:
         buf[0, bucket - n:] = prompt
         packed, self.cache = self._respond(
             self.params, self.cache, jnp.asarray(buf),
-            jnp.asarray([n], jnp.int32))
+            jnp.asarray([n], jnp.int32),
+            jnp.asarray([self._host_offset], jnp.int32))
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
         out = packed[2:2 + int(packed[0])]
