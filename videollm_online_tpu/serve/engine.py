@@ -130,8 +130,52 @@ class LiveInferEngine:
         self._gen_prompt_bucket = next(
             (b for b in PROMPT_BUCKETS if b >= n_gen), n_gen)
 
+        # device-constant cache: every jnp.asarray of host data is a
+        # host->device transfer — ~10-26 ms of tunnel latency EACH on
+        # remote-attached TPUs. The streaming loop's small operands
+        # (threshold, prompt buckets, prepend buckets, scalar counts) repeat
+        # across cycles; uploading them once turns ~8 transfers per
+        # response cycle into zero.
+        self._dev_cache: Dict[Any, jax.Array] = {}
         self._build_jitted()
         self.reset()
+
+    def _dev(self, key, build):
+        hit = self._dev_cache.get(key)
+        if hit is None:
+            hit = jax.device_put(build())
+            self._dev_cache[key] = hit
+        return hit
+
+    def _dev_i32(self, v: int) -> jax.Array:
+        return self._dev(("i32", v), lambda: jnp.asarray(v, jnp.int32))
+
+    def _dev_bool(self, v: bool) -> jax.Array:
+        return self._dev(("b", v), lambda: jnp.asarray(bool(v)))
+
+    def _dev_thr(self) -> jax.Array:
+        t = float(self.cfg.frame_token_interval_threshold)
+        return self._dev(("thr", t), lambda: jnp.asarray(t, jnp.float32))
+
+    def _dev_prompt(self, ids, bucket: int) -> jax.Array:
+        """(1, bucket) right-aligned prompt ids as a cached device const."""
+        key = ("prompt", bucket, tuple(int(i) for i in ids))
+        def build():
+            buf = np.zeros((1, bucket), np.int32)
+            if len(ids):
+                buf[0, bucket - len(ids):] = ids
+            return buf
+        return self._dev(key, build)
+
+    def _dev_text(self, ids) -> jax.Array:
+        """(TEXT_BUCKET,) right-aligned prepend ids, cached."""
+        key = ("text", tuple(int(i) for i in ids))
+        def build():
+            buf = np.zeros((TEXT_BUCKET,), np.int32)
+            if len(ids):
+                buf[-len(ids):] = ids
+            return buf
+        return self._dev(key, build)
 
     # ------------------------------------------------------------------ jit
     def _build_jitted(self):
@@ -590,8 +634,7 @@ class LiveInferEngine:
         frame is the interval token — exactly what a non-fired gate
         predicts (fire is DEFINED as next_id != interval)."""
         iv = self.cfg.frame_token_interval_id
-        thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
-                          jnp.float32)
+        thr = self._dev_thr()
         while len(self._spec_queue) < 2 and self.frame_embeds_queue:
             t, emb = self.frame_embeds_queue[0]
             if self.query_queue and t > self.query_queue[0][0]:
@@ -610,7 +653,7 @@ class LiveInferEngine:
             first_text, first_n, n_pre = self._take_prepend()
             self.cache, packed = self._ingest(
                 self.params, self.cache, first_text, first_n,
-                jnp.stack([emb]), jnp.asarray(1, jnp.int32), thr)
+                jnp.stack([emb]), self._dev_i32(1), thr)
             try:
                 packed.copy_to_host_async()  # overlap transfer with compute
             except Exception:
@@ -630,13 +673,20 @@ class LiveInferEngine:
             self.frame_embeds_queue.appendleft((newer["time"],
                                                 newer["embed"]))
 
-    def _call_spec(self) -> Tuple[Optional[str], Optional[str]]:
+    def _call_spec(self, force_resolve: bool = False
+                   ) -> Tuple[Optional[str], Optional[str]]:
         # multi-frame backlog with an idle pipeline: the chunked fused path
         # beats per-frame pipelining
         if not self._spec_queue and len(self.frame_embeds_queue) > 1:
             return self._call_fused()
         self._spec_fill()
-        if self._spec_queue:
+        # the pipelining contract: leave the newest dispatch unresolved so
+        # its readback overlaps the NEXT frame's dispatch+compute — resolve
+        # only when a newer dispatch is already in flight, a query might be
+        # due, or the caller is draining (flush)
+        resolve = force_resolve or len(self._spec_queue) >= 2 \
+            or bool(self.query_queue)
+        if self._spec_queue and resolve:
             e = self._spec_queue.popleft()
             packed = np.asarray(e["packed"])  # overlapped by async copy
             fire = bool(packed[1])
@@ -677,7 +727,7 @@ class LiveInferEngine:
         out = []
         while self._spec_queue or (self.speculative
                                    and self.frame_embeds_queue):
-            q, r = self._call_spec()
+            q, r = self._call_spec(force_resolve=True)
             if r is not None:
                 out.append((q, r))
             elif not self._spec_queue and not self.frame_embeds_queue:
@@ -723,10 +773,6 @@ class LiveInferEngine:
                 query_prompt = gen_prompt
             n_max = max(len(gen_prompt), len(query_prompt))
             bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
-            gen_buf = np.zeros((1, bucket), np.int32)
-            gen_buf[0, bucket - len(gen_prompt):] = gen_prompt
-            query_buf = np.zeros((1, bucket), np.int32)
-            query_buf[0, bucket - len(query_prompt):] = query_prompt
 
             # capacity guard: burst + the worst prompt bucket + response
             worst = (self._host_offset + len(burst_times)
@@ -740,19 +786,16 @@ class LiveInferEngine:
                     f"kv_capacity, set stream_window, or reset() the stream")
 
             first_text, first_n, _ = self._take_prepend()
-            thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
-                              jnp.float32)
-            jq = jnp.asarray(query_buf)
-            jg = jnp.asarray(gen_buf)
-            jqn = jnp.asarray(len(query_prompt), jnp.int32)
-            jgn = jnp.asarray(len(gen_prompt), jnp.int32)
+            thr = self._dev_thr()
+            jq = self._dev_prompt(query_prompt, bucket)
+            jg = self._dev_prompt(gen_prompt, bucket)
+            jqn = self._dev_i32(len(query_prompt))
+            jgn = self._dev_i32(len(gen_prompt))
 
             n = len(burst_embeds)
             iv = self.cfg.frame_token_interval_id
-            cont_text = np.zeros((TEXT_BUCKET,), np.int32)
-            if iv is not None:
-                cont_text[-1] = iv
-            cont_n = 1 if iv is not None else 0
+            cont_ids = [iv] if iv is not None else []
+            cont_n = len(cont_ids)
 
             i = 0
             text, ntext = first_text, first_n
@@ -766,34 +809,31 @@ class LiveInferEngine:
                     group = burst_embeds[i:i + bucket]
                     k = len(group)
                     last_chunk = (i + k) >= n
-                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    qae = self._dev_bool(query_at_end and last_chunk)
                     frames = jnp.stack(list(group)
                                        + [group[-1]] * (bucket - k))
                     self.cache, packed = self._ingest_burstloop_respond(
                         self.params, self.cache, text, ntext, frames,
-                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
-                        qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
                 elif n >= 2:
                     group = burst_embeds[i:i + CHUNK_FRAMES]
                     k = len(group)
                     last_chunk = (i + k) >= n
-                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    qae = self._dev_bool(query_at_end and last_chunk)
                     frames = jnp.stack(list(group)
                                        + [group[-1]] * (CHUNK_FRAMES - k))
                     self.cache, packed = self._ingest_chunk_respond(
                         self.params, self.cache, text, ntext, frames,
-                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
-                        qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
                 else:
                     group = burst_embeds[i:i + CHUNK_FRAMES]
                     k = len(group)
                     last_chunk = (i + k) >= n
-                    qae = jnp.asarray(bool(query_at_end and last_chunk))
+                    qae = self._dev_bool(query_at_end and last_chunk)
                     frames = jnp.stack(list(group))
                     self.cache, packed = self._ingest_burst_respond(
                         self.params, self.cache, text, ntext, frames,
-                        jnp.asarray(k, jnp.int32), thr, jq, jqn, jg, jgn,
-                        qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
                 packed = np.asarray(packed)  # the step's ONE readback
                 consumed = int(packed[0])
                 fire = bool(packed[1])
@@ -816,8 +856,8 @@ class LiveInferEngine:
                     return self._finish_response(out, video_time, query)
                 if consumed:
                     self._pending_prepend = [next_id] if iv is not None else []
-                text = jnp.asarray(cont_text)
-                ntext = jnp.asarray(cont_n, jnp.int32)
+                text = self._dev_text(cont_ids)
+                ntext = self._dev_i32(cont_n)
                 i += consumed
         return None, None
 
@@ -871,8 +911,7 @@ class LiveInferEngine:
                     f"(offset {self._host_offset}); raise "
                     f"kv_capacity, set stream_window, or reset() the stream")
             first_text, first_n, _ = self._take_prepend()
-            thr = jnp.asarray(self.cfg.frame_token_interval_threshold,
-                              jnp.float32)
+            thr = self._dev_thr()
             n_burst = len(burst_times)
             if n_burst >= 2:
                 consumed, fire, next_id = self._ingest_chunks(
@@ -881,7 +920,7 @@ class LiveInferEngine:
                 frames = jnp.stack(burst_embeds)
                 self.cache, packed = self._ingest(
                     self.params, self.cache, first_text, first_n, frames,
-                    jnp.asarray(n_burst, jnp.int32), thr)
+                    self._dev_i32(n_burst), thr)
                 packed = np.asarray(packed)  # ONE readback
                 consumed = int(packed[0])
                 fire = bool(packed[1])
@@ -921,20 +960,18 @@ class LiveInferEngine:
         i = 0
         n = len(burst_embeds)
         iv = self.cfg.frame_token_interval_id
-        cont_text = np.zeros((TEXT_BUCKET,), np.int32)
-        if iv is not None:
-            cont_text[-1] = iv
-        cont_n = 1 if iv is not None else 0
+        cont_ids = [iv] if iv is not None else []
+        cont_n = len(cont_ids)
         while i < n and not fire:
             group = burst_embeds[i:i + CHUNK_FRAMES]
             k = len(group)
             frames = jnp.stack(list(group)
                                + [group[-1]] * (CHUNK_FRAMES - k))
-            text = first_text if i == 0 else jnp.asarray(cont_text)
-            ntext = first_n if i == 0 else jnp.asarray(cont_n, jnp.int32)
+            text = first_text if i == 0 else self._dev_text(cont_ids)
+            ntext = first_n if i == 0 else self._dev_i32(cont_n)
             self.cache, packed = self._ingest_chunk(
                 self.params, self.cache, text, ntext, frames,
-                jnp.asarray(k, jnp.int32), thr)
+                self._dev_i32(k), thr)
             packed = np.asarray(packed)  # ONE readback per chunk
             consumed = int(packed[0])
             fire = bool(packed[1])
@@ -976,10 +1013,7 @@ class LiveInferEngine:
             self._pending_prepend = []
         ids = self._pending_prepend[-TEXT_BUCKET:]
         self._pending_prepend = []
-        buf = np.zeros((TEXT_BUCKET,), np.int32)
-        if ids:
-            buf[-len(ids):] = ids
-        return jnp.asarray(buf), jnp.asarray(len(ids), jnp.int32), len(ids)
+        return self._dev_text(ids), self._dev_i32(len(ids)), len(ids)
 
     def _prefill_ids(self, ids: np.ndarray):
         n = len(ids)
@@ -987,10 +1021,9 @@ class LiveInferEngine:
         if bucket is None:
             # long prompt: feed exact-size (one extra compile) — rare
             bucket = n
-        buf = np.zeros((1, bucket), np.int32)
-        buf[0, bucket - n:] = ids
-        self.cache = self._prefill(self.params, self.cache, jnp.asarray(buf),
-                                   jnp.asarray([n], jnp.int32))
+        self.cache = self._prefill(
+            self.params, self.cache, self._dev_prompt(ids, bucket),
+            self._dev(("nv", n), lambda: jnp.asarray([n], jnp.int32)))
         self._host_offset += n
 
     # -- reference _call_for_response (demo/inference.py:40-52)
@@ -1018,11 +1051,9 @@ class LiveInferEngine:
                 f"the response turn (offset {self._host_offset}, "
                 f"prompt bucket {bucket}); raise kv_capacity, set "
                 f"stream_window, or reset()")
-        buf = np.zeros((1, bucket), np.int32)
-        buf[0, bucket - n:] = prompt
         packed, self.cache = self._respond(
-            self.params, self.cache, jnp.asarray(buf),
-            jnp.asarray([n], jnp.int32),
+            self.params, self.cache, self._dev_prompt(prompt, bucket),
+            self._dev(("nv", n), lambda: jnp.asarray([n], jnp.int32)),
             jnp.asarray([self._host_offset], jnp.int32))
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
