@@ -330,9 +330,19 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
     h = h + dns(attn_out, "wo")
 
     x = rms_norm(h, layer_params["mlp_norm"], cfg.rms_norm_eps)
-    gate = dns(x, "w_gate")
-    up = dns(x, "w_up")
-    h = h + dns(jax.nn.silu(gate) * up, "w_down")
+    from ..ops import fused_mlp
+    fused = fused_mlp.maybe_fused(x, layer_params, layer_lora)
+    if fused is not None:
+        # whole-MLP Pallas kernel: all three quantized matrices stream
+        # through VMEM once per call, gate/up intermediates never touch HBM
+        # (the per-matmul XLA path pays 3 weight streams' fusion boundaries;
+        # int4 additionally dequantizes nibbles in-registers, which XLA
+        # cannot fuse — it materializes the unpacked operand)
+        h = h + fused.astype(h.dtype)
+    else:
+        gate = dns(x, "w_gate")
+        up = dns(x, "w_up")
+        h = h + dns(jax.nn.silu(gate) * up, "w_down")
     return h, new_kv
 
 

@@ -1,0 +1,288 @@
+"""Fused SwiGLU-MLP decode kernel (Pallas, weight-only int8).
+
+Why a whole-MLP kernel when per-matmul Pallas kernels LOSE the decode step
+(see models/quant.py — each pallas_call is a fusion barrier that forfeits
+XLA's cross-op weight prefetch, ~22us x 224 calls/token): one kernel per
+LAYER amortizes the barrier over the MLP's three matrices — 75% of a
+Llama-8B layer's weight bytes (3 x D x F of the 3DF + 2D^2 + 2*D*kv total)
+— and keeps the (B, F_block) gate/up activations in VMEM, never touching
+HBM for intermediates.
+
+Dataflow per grid step j over F-blocks:
+    g = x @ Wg[:, j]   (MXU, int8 block converted in VMEM)
+    u = x @ Wu[:, j]
+    h = silu(g * sg) * (u * su)          (VPU, f32)
+    out += (h @ Wd[j, :]) * sd           (MXU, f32 accumulation in VMEM)
+All three weight matrices stream through VMEM exactly once per call
+(HBM traffic = int8 bytes, double-buffered by the Pallas grid pipeline);
+batch-1 decode is weight-bandwidth-bound so bytes ~= time.
+
+Replaces (numerically ~equal, f32 accumulation instead of bf16
+intermediates) the XLA path in models/llama._layer:
+    silu(dense(x, w_gate)) * dense(x, w_up) -> dense(., w_down)
+Reference behavior: modeling_live_llama.py's LlamaMLP (HF). Weight layout:
+models/quant.py int8 dicts {"q8": (in, out), "scale": (out,)}.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref):
+    j = pl.program_id(0)
+    x = x_ref[:]                                   # (B, D) bf16
+    wg = wg_ref[:].astype(jnp.bfloat16)            # (D, FB)
+    wu = wu_ref[:].astype(jnp.bfloat16)
+    g = jnp.dot(x, wg, preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu, preferred_element_type=jnp.float32)
+    g = g * sg_ref[:]                              # (1, FB) f32 scales
+    u = u * su_ref[:]
+    h = (g * jax.nn.sigmoid(g)) * u                # SiLU(g) * u, f32
+    wd = wd_ref[:].astype(jnp.bfloat16)            # (FB, D)
+    p = jnp.dot(h.astype(jnp.bfloat16), wd,
+                preferred_element_type=jnp.float32)
+    p = p * sd_ref[:]                              # (1, D) f32
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = p
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + p
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_mlp_int8(x, wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, *,
+                   block_f: int = 512, interpret: bool = False):
+    """SwiGLU MLP over int8 weights: x (B, D) bf16 -> (B, D) bf16.
+
+    wg_q/wu_q: (D, F) int8, scales (F,) f32; wd_q: (F, D) int8, scale (D,)
+    f32 (models/quant.quantize_weight layout)."""
+    B, D = x.shape
+    F = wg_q.shape[1]
+    fb = min(block_f, F)
+    assert F % fb == 0, (F, fb)
+    grid = (F // fb,)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F * 3,
+            bytes_accessed=3 * D * F + 4 * (2 * F + D) + 2 * B * D,
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wg_q, wg_s.reshape(1, F), wu_q,
+      wu_s.reshape(1, F), wd_q, wd_s.reshape(1, wd_s.shape[-1]))
+    return out.astype(x.dtype)
+
+
+def _deq_groups(q, scale):
+    """Dequantize unpacked int4 values q (R, C) with group scales
+    (n_groups, C) over the rows: returns bf16 (R, C). Rows within a group
+    are contiguous, so the scale broadcast is a sublane-split reshape
+    (layout-free on TPU)."""
+    R, C = q.shape
+    n_groups = scale.shape[0]
+    w = q.astype(jnp.bfloat16).reshape(n_groups, R // n_groups, C)
+    w = w * scale[:, None, :].astype(jnp.bfloat16)
+    return w.reshape(R, C)
+
+
+def _kernel_int4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+                 out_ref):
+    """One F-block step of the int4 SwiGLU MLP.
+
+    The reduction over F is permutation-invariant, so the grid walks F in
+    PACKED-PAIR order: step j covers unpacked F-columns {[j*PB,(j+1)*PB)}
+    of BOTH halves (wd byte row r packs F-rows r and r+F/2). wg/wu arrive
+    viewed as (D/2, 2, F/2) — [:, h, :] is column-half h — and wd as its
+    natural packed (F/2, D) rows. Nibbles unpack with two arithmetic
+    shifts; scales apply to the bf16 weights per 128-row group (matching
+    models/quant._dequantize_int4 numerics: bf16 weight products, f32
+    matmul accumulation)."""
+    j = pl.program_id(0)
+    x = x_ref[:]                                    # (B, D) bf16
+    D = x.shape[1]
+    xl, xh = x[:, : D // 2], x[:, D // 2:]
+
+    def gate_up(w_ref, s_ref, h):
+        p = w_ref[:, h, :]                          # (D/2, PB) packed int8
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)   # D-rows [0, D/2)
+        hi = jnp.right_shift(p, 4)                      # D-rows [D/2, D)
+        s = s_ref[:, h, :]                          # (G, PB), G = D/group
+        G = s.shape[0]
+        y = jnp.dot(xl, _deq_groups(lo, s[: G // 2]),
+                    preferred_element_type=jnp.float32)
+        y += jnp.dot(xh, _deq_groups(hi, s[G // 2:]),
+                     preferred_element_type=jnp.float32)
+        return y                                    # (B, PB) f32
+
+    pd = wd_ref[:]                                  # (PB, D) packed int8
+    acc = None
+    for h in (0, 1):                                # F column-half
+        g = gate_up(wg_ref, sg_ref, h)
+        u = gate_up(wu_ref, su_ref, h)
+        hid = ((g * jax.nn.sigmoid(g)) * u).astype(jnp.bfloat16)
+        nib = (jnp.right_shift(jnp.left_shift(pd, 4), 4) if h == 0
+               else jnp.right_shift(pd, 4))
+        wd = _deq_groups(nib, sd_ref[h])            # (PB, D) bf16
+        p = jnp.dot(hid, wd, preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
+                   block_f: int = 256, interpret: bool = False):
+    """SwiGLU MLP over nibble-packed int4 weights: x (B, D) -> (B, D).
+
+    wg_p/wu_p: (D/2, F) packed int8 (models/quant.quantize_weight_int4:
+    byte i = reduction-row i low nibble, row i + D/2 high nibble), scales
+    (D/group, F) f32; wd_p: (F/2, D) packed, scale (F/group, D). block_f
+    is the PACKED F-block (covers 2*block_f unpacked columns/step).
+
+    Why a kernel at all: XLA cannot fuse the nibble unpack into matmul
+    weight streaming — it materializes the unpacked operand in HBM and the
+    8B engine drops to 6 FPS (BENCH_NOTES.md). Here the int4 bytes stream
+    through VMEM once and unpack in registers."""
+    B, D = x.shape
+    F = wg_p.shape[1]
+    half = F // 2
+    fb = min(block_f, half)
+    assert half % fb == 0, (F, fb)
+    gd = wg_s.shape[0]                  # D-groups (even: lo/hi halves split)
+    gf = wd_s.shape[0]                  # F-groups
+    group_f = F // gf
+    assert gd % 2 == 0 and gf % 2 == 0 and fb % group_f == 0, (gd, gf, fb)
+    gfb = 2 * fb // group_f             # F-groups per block (both halves)
+    grid = (half // fb,)
+
+    out = pl.pallas_call(
+        _kernel_int4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D // 2, 2, fb), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gd, 2, fb), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D // 2, 2, fb), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gd, 2, fb), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gfb // 2, D), lambda j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F * 3,
+            bytes_accessed=3 * D * F // 2 + 2 * B * D,
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16),
+      wg_p.reshape(D // 2, 2, half), wg_s.reshape(gd, 2, half),
+      wu_p.reshape(D // 2, 2, half), wu_s.reshape(gd, 2, half),
+      wd_p, wd_s.reshape(2, gf // 2, D))
+    return out.astype(x.dtype)
+
+
+def mlp_int8(x, layer_params, *, block_f: int = 512, interpret: bool = False):
+    """(B, S, D) wrapper over the fused kernel for models/llama._layer.
+
+    Only valid for int8-quantized layers without LoRA on the MLP; callers
+    gate on that (llama._layer falls back to the XLA path otherwise)."""
+    B, S, D = x.shape
+    wg, wu, wd = (layer_params["w_gate"], layer_params["w_up"],
+                  layer_params["w_down"])
+    y = fused_mlp_int8(
+        x.reshape(B * S, D), wg["q8"], wg["scale"], wu["q8"], wu["scale"],
+        wd["q8"], wd["scale"], block_f=block_f, interpret=interpret)
+    return y.reshape(B, S, D)
+
+
+def mlp_int4(x, layer_params, *, block_f: int = 256, interpret: bool = False):
+    """(B, S, D) wrapper over the int4 fused kernel (same contract)."""
+    B, S, D = x.shape
+    wg, wu, wd = (layer_params["w_gate"], layer_params["w_up"],
+                  layer_params["w_down"])
+    y = fused_mlp_int4(
+        x.reshape(B * S, D), wg["q4p"], wg["scale"], wu["q4p"], wu["scale"],
+        wd["q4p"], wd["scale"], block_f=block_f, interpret=interpret)
+    return y.reshape(B, S, D)
+
+
+# serving-shape bound: decode is S=1, chunked ingest S<=~16, batched
+# multistream B*S<=~128; prefill buckets (256+) are MXU-bound and XLA wins
+MAX_FUSED_TOKENS = 128
+
+
+ENABLED = os.environ.get("VLO_FUSED_MLP", "1") != "0"
+
+
+def maybe_fused(x, layer_params, layer_lora):
+    """Trace-time dispatch: the fused whole-MLP kernel when the layer is
+    weight-only quantized (int8 or int4), the MLP carries no LoRA, the
+    token count is in the weight-bound regime, and we're on real TPU.
+    Returns the MLP output or None (caller falls back to the XLA path)."""
+    if not ENABLED or jax.default_backend() != "tpu":
+        return None
+    B, S, D = x.shape
+    if B * S > MAX_FUSED_TOKENS:
+        return None
+    if layer_lora is not None and any(
+            layer_lora.get(n) is not None
+            for n in ("w_gate", "w_up", "w_down")):
+        return None
+    mats = [layer_params.get(n) for n in ("w_gate", "w_up", "w_down")]
+    if not all(isinstance(m, dict) for m in mats):
+        return None
+    wg, wu, wd = mats
+    if all("q8" in m for m in mats):
+        F = wg["q8"].shape[1]
+        if D % 256 or F % 512:
+            return None
+        return mlp_int8(x, layer_params)
+    if all("q4p" in m for m in mats):
+        F = wg["q4p"].shape[1]
+        gd, gf = wg["scale"].shape[0], wd["scale"].shape[0]
+        if gd % 2 or gf % 2 or (F // 2) % 256 or (256 % (F // gf)):
+            return None
+        return mlp_int4(x, layer_params)
+    return None
