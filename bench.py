@@ -163,6 +163,11 @@ def main():
         # pacing; responses may surface one call later (content-identical)
         if os.environ.get("BENCH_SPECULATIVE", "") in ("1", "true"):
             engine.speculative = True
+        # BENCH_PIPELINED=1: sustained-mode dispatch pipelining (burst i+1
+        # dispatched before burst i's readback, chained via the device-
+        # resident prepend); hides the per-burst readback RTT
+        if os.environ.get("BENCH_PIPELINED", "") in ("1", "true"):
+            engine.pipelined = True
 
         def run(ticks):
             engine.reset()

@@ -281,6 +281,31 @@ def test_fused_equals_unfused(threshold, queries):
     assert a._pending_prepend == b._pending_prepend
 
 
+@pytest.mark.parametrize("threshold,queries", [
+    (0.725, []),                             # several inline gate responses
+    (0.725, [(0.5, "q1?"), (3.0, "q2?")]),   # query turns end the dispatch
+])
+def test_multi_respond_equals_single(threshold, queries):
+    """The multi-response device loop (ingest_stream: up to R_STREAM
+    response turns inside ONE dispatch) must produce exactly the fused
+    single-response engine's transcripts, final offset, and prepend."""
+    cfg, tok, params = _setup(threshold=threshold, seed=2)
+    n_frames = 24
+    rng = np.random.RandomState(3)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    frame_times = [5.5, 11.5]
+    a = LiveInferEngine(params, tok, cfg, kv_capacity=4096,
+                        fused_respond=True, multi_respond=True)
+    b = LiveInferEngine(params, tok, cfg, kv_capacity=4096,
+                        fused_respond=True, multi_respond=False)
+    ta = _run_engine(a, cfg, feats, frame_times, queries)
+    tb = _run_engine(b, cfg, feats, frame_times, queries)
+    assert ta == tb
+    assert int(a.cache.offset[0]) == int(b.cache.offset[0])
+    assert a._pending_prepend == b._pending_prepend
+
+
 def test_fused_burstloop_large_catchup():
     """An 80-frame catch-up burst crosses the 64-frame device-loop bucket
     (64-bucket dispatch + 16-frame chunk tail) and must still match the
@@ -327,6 +352,38 @@ def test_speculative_content_equals_blocking(threshold, queries):
     assert len(ta) >= 1
     assert int(a.cache.offset[0]) == int(b.cache.offset[0]) or \
         a._host_offset == b._host_offset
+
+
+@pytest.mark.parametrize("threshold,queries,feed_every", [
+    (0.725, [], 4),                            # gate fires inside bursts:
+                                               # R_STREAM can exhaust ->
+                                               # rollback path
+    (0.725, [(0.5, "q1?"), (3.0, "q2?")], 4),  # eager query pops + queries
+                                               # blocking the fill
+    (0.725, [(2.0, "mid?")], 8),               # bigger bursts
+])
+def test_pipelined_content_equals_blocking(threshold, queries, feed_every):
+    """The pipelined sustained engine (ingest_stream dispatches chained
+    through the device-resident prepend, packed results resolved one
+    dispatch behind) must produce the SAME transcript contents as the
+    blocking multi-response engine and leave identical ring state."""
+    cfg, tok, params = _setup(threshold=threshold, seed=9)
+    n_frames = 16
+    rng = np.random.RandomState(17)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    frame_times = [(i + 1) * feed_every * 0.5 - 0.5
+                   for i in range(n_frames // feed_every)]
+
+    a = LiveInferEngine(params, tok, cfg, kv_capacity=4096, pipelined=True)
+    b = LiveInferEngine(params, tok, cfg, kv_capacity=4096)
+    ta = _run_engine(a, cfg, feats, frame_times, queries)
+    ta += a.flush()
+    tb = _run_engine(b, cfg, feats, frame_times, queries)
+    tb += b.flush()
+    assert ta == tb
+    assert len(ta) >= 1
+    assert a._host_offset == b._host_offset
 
 
 def test_speculative_with_stream_window_compaction():

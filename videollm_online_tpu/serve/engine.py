@@ -40,6 +40,7 @@ TEXT_BUCKET = 4        # in-burst prepend: '' | ',' | eos + '\n['
 PROMPT_BUCKETS = (32, 64, 128, 256)  # prefill / query-response prompts
 CHUNK_FRAMES = 8       # frames per chunked-ingest dispatch (catch-up bursts)
 BURST_BUCKETS = (32, 64)  # whole-burst device loop: frames per dispatch
+R_STREAM = 4   # max response turns inside one ingest_stream dispatch
 
 
 def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
@@ -63,7 +64,29 @@ class LiveInferEngine:
         stream_window: Optional[int] = None,
         fused_respond: bool = True,
         speculative: bool = False,
+        multi_respond: bool = True,
+        pipelined: bool = False,
     ):
+        # pipelined: sustained-mode dispatch pipelining — burst i+1 is
+        # dispatched BEFORE burst i's packed result is read, chained through
+        # the device-resident prepend that ingest_stream returns (no host
+        # readback sits between dispatches, so the per-burst readback RTT
+        # overlaps the next burst's compute). Frame consumption is the only
+        # speculation (a dispatch that exhausts its R_STREAM response slots
+        # mid-burst consumes fewer frames than assumed — detected at
+        # resolution and rolled back by an offset rewind, like the realtime
+        # speculative mode). Transcripts are content-identical; responses
+        # can surface one __call__ later. Opt-in.
+        self.pipelined = pipelined
+        assert not (pipelined and speculative), \
+            "pipelined (sustained) and speculative (realtime) are exclusive"
+        # multi_respond: the sustained path dispatches ONE device program
+        # per burst that ingests frames AND runs up to R_STREAM response
+        # turns inline (ingest_stream) — a response-heavy cycle costs one
+        # dispatch + one packed readback for SEVERAL responses instead of
+        # one pair each. Responses surface one per __call__ from a host
+        # buffer, transcript-identical to the fused path (oracle-tested).
+        self.multi_respond = multi_respond
         # fused_respond: run response arbitration + generation INSIDE the
         # ingest dispatch (one dispatch + one packed readback per streaming
         # step, vs ingest-readback-respond-readback). Transcripts are
@@ -458,6 +481,127 @@ class LiveInferEngine:
                                  next_id, query_ids, query_n, gen_ids, gen_n,
                                  query_at_end)
 
+        reopen = [int(i) for i in self._stream_prompt_ids]
+        n_eos_pre = 1 + len(reopen)
+        assert n_eos_pre <= TEXT_BUCKET, (reopen, TEXT_BUCKET)
+        eos_id = cfg.eos_token_id
+
+        def _post_response_prepend(out_ids, length):
+            """The prepend the host's _finish_response would queue after a
+            response: [last] (+ the '\\n[' stream-reopen ids when last is
+            EOS, reference demo/inference.py:64-66), right-aligned in the
+            TEXT_BUCKET. length==0 -> empty prepend."""
+            last = out_ids[jnp.clip(length - 1, 0, max_new - 1)]
+            eos_buf = jnp.zeros((TEXT_BUCKET,), jnp.int32)
+            if reopen:
+                eos_buf = eos_buf.at[TEXT_BUCKET - len(reopen):].set(
+                    jnp.asarray(reopen, jnp.int32))
+            eos_buf = eos_buf.at[TEXT_BUCKET - n_eos_pre].set(last)
+            plain_buf = jnp.zeros((TEXT_BUCKET,), jnp.int32).at[-1].set(last)
+            is_eos = last == eos_id
+            text = jnp.where(is_eos, eos_buf, plain_buf)
+            n = jnp.where(is_eos, n_eos_pre, 1)
+            empty = length == 0
+            return (jnp.where(empty, jnp.zeros_like(text), text),
+                    jnp.where(empty, 0, n).astype(jnp.int32))
+
+        def ingest_stream(params, cache, first_text, first_n, frames,
+                          n_frames, threshold, query_ids, query_n, gen_ids,
+                          gen_n, query_at_end):
+            """The whole streaming cycle as ONE device program: a while_loop
+            over chunk steps that, on each gate fire, runs the full response
+            turn (prompt prefill + greedy generation) INLINE and continues
+            ingesting with the post-response prepend — up to R_STREAM
+            responses per dispatch. The host's only work per dispatch is
+            queue bookkeeping off one packed readback; sequential-engine
+            semantics (arbitration, query priority, prepends) are exactly
+            those of _stream_until_trigger/_respond_at (oracle-tested).
+
+            Packed layout (int32): [consumed, n_resp, next_id,
+            last_was_resp, offset, resp_len*R, resp_used_gen*R,
+            resp_fidx*R, resp_ids*(R*max_new)]."""
+            interval_text = jnp.zeros((TEXT_BUCKET,), jnp.int32)
+            interval_text = interval_text.at[-1].set(
+                gate_ref_id if use_interval else 0)
+            interval_n = jnp.asarray(1 if use_interval else 0, jnp.int32)
+
+            def cond(st):
+                consumed, n_resp = st[1], st[2]
+                return jnp.logical_and(consumed < n_frames,
+                                       n_resp < R_STREAM)
+
+            def body(st):
+                (cache, consumed, n_resp, pre_text, pre_n, _next_id,
+                 _lwr, r_ids, r_len, r_gen, r_fidx) = st
+                chunk = jax.lax.dynamic_slice(
+                    frames, (consumed, 0, 0),
+                    (CHUNK_FRAMES, fnt, self.hidden))
+                k = jnp.minimum(n_frames - consumed, CHUNK_FRAMES)
+                cache, cons, fire, nid = _chunk_core(
+                    params, cache, pre_text, pre_n, chunk, k, threshold)
+                consumed = consumed + cons
+                full = consumed == n_frames
+                query_triggers = jnp.logical_and(full, query_at_end)
+                use_gen = jnp.logical_and(fire,
+                                          jnp.logical_not(query_triggers))
+                do_respond = jnp.logical_or(fire, query_triggers)
+                sel_ids = jnp.where(use_gen, gen_ids, query_ids)
+                sel_n = jnp.where(use_gen, gen_n, query_n)
+
+                def respond_branch(cache):
+                    embeds = llama.embed_tokens(params["llama"], sel_ids,
+                                                cfg.llama)
+                    embeds = _pack_valid_first(embeds, sel_ids.shape[1],
+                                               sel_n)
+                    out_ids, length, cache = gen_mod.greedy_generate(
+                        params, cfg, cache, embeds, sel_n[None],
+                        max_new_tokens=max_new, attn_impl=self.attn_impl)
+                    return cache, length[0], out_ids[0]
+
+                def no_respond(cache):
+                    return (cache, jnp.asarray(0, jnp.int32),
+                            jnp.zeros((max_new,), jnp.int32))
+
+                cache, length, out = jax.lax.cond(
+                    do_respond, respond_branch, no_respond, cache)
+                slot = jnp.where(do_respond, n_resp, R_STREAM - 1)
+                r_ids = jax.lax.cond(
+                    do_respond,
+                    lambda b: jax.lax.dynamic_update_slice(
+                        b, out[None], (slot, 0)),
+                    lambda b: b, r_ids)
+                r_len = jnp.where(do_respond, r_len.at[slot].set(length),
+                                  r_len)
+                r_gen = jnp.where(
+                    do_respond, r_gen.at[slot].set(use_gen.astype(jnp.int32)),
+                    r_gen)
+                r_fidx = jnp.where(do_respond,
+                                   r_fidx.at[slot].set(consumed - 1), r_fidx)
+                n_resp = n_resp + do_respond.astype(jnp.int32)
+                rp_text, rp_n = _post_response_prepend(out, length)
+                pre_text = jnp.where(do_respond, rp_text, interval_text)
+                pre_n = jnp.where(do_respond, rp_n, interval_n)
+                return (cache, consumed, n_resp, pre_text, pre_n, nid,
+                        do_respond, r_ids, r_len, r_gen, r_fidx)
+
+            init = (cache, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32), first_text, first_n,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                    jnp.zeros((R_STREAM, max_new), jnp.int32),
+                    jnp.zeros((R_STREAM,), jnp.int32),
+                    jnp.zeros((R_STREAM,), jnp.int32),
+                    jnp.zeros((R_STREAM,), jnp.int32))
+            (cache, consumed, n_resp, pre_text, pre_n, next_id, lwr, r_ids,
+             r_len, r_gen, r_fidx) = jax.lax.while_loop(cond, body, init)
+            packed = jnp.concatenate([
+                jnp.stack([consumed, n_resp, next_id,
+                           lwr.astype(jnp.int32), cache.offset[0]]),
+                r_len, r_gen, r_fidx, r_ids.reshape(-1)])
+            # (pre_text, pre_n) = the NEXT dispatch's prepend, still on
+            # device: the pipelined driver chains dispatches through them
+            # with no host readback in between
+            return cache, packed, pre_text, pre_n
+
         def respond(params, cache, prompt_ids, num_valid, start_offset):
             """start_offset rewinds the ring before the prompt append — the
             host mirror in the normal path; the ROLLBACK point when a
@@ -490,6 +634,7 @@ class LiveInferEngine:
                                              donate_argnums=(1,))
         self._ingest_burstloop_respond = jax.jit(ingest_burstloop_respond,
                                                  donate_argnums=(1,))
+        self._ingest_stream = jax.jit(ingest_stream, donate_argnums=(1,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
@@ -544,6 +689,15 @@ class LiveInferEngine:
         # speculative pipeline: unresolved single-frame dispatches, oldest
         # first; each entry = {time, embed, packed, tokens}
         self._spec_queue: collections.deque = collections.deque()
+        # responses already produced by a multi-response ingest_stream
+        # dispatch, surfaced one per __call__
+        self._resp_out: collections.deque = collections.deque()
+        # pipelined sustained mode: unresolved ingest_stream dispatches,
+        # oldest first; each = {k, times, embeds, qae, query, packed, worst}
+        self._pipe: collections.deque = collections.deque()
+        # device-resident prepend chaining the next pipelined dispatch
+        # (valid while _pipe is non-empty; host mirror takes over after)
+        self._carry = None
 
     # ------------------------------------------------------------------ I/O
     def load_video(self, video: Any):
@@ -611,11 +765,17 @@ class LiveInferEngine:
         """One streaming step: ingest queued frames until the model decides
         to respond or a query interleaves; then generate the response.
         Returns (query, response) like demo/inference.py:117-124."""
+        if self._resp_out:
+            return self._resp_out.popleft()
         if self.speculative:
             return self._call_spec()
+        if self.pipelined:
+            return self._call_pipe()
         if not self.frame_embeds_queue:
             return None, None
         if self.fused_respond:
+            if self.multi_respond:
+                return self._call_stream()
             return self._call_fused()
         video_time, query = self._stream_until_trigger()
         if video_time is None:
@@ -721,9 +881,9 @@ class LiveInferEngine:
         return None, None
 
     def flush(self) -> List[Tuple[Optional[str], str]]:
-        """Resolve every in-flight speculative dispatch (and any still-queued
-        frames/queries they unblock), returning the responses produced.
-        No-op on the blocking engine modes."""
+        """Resolve every in-flight speculative/pipelined dispatch (and any
+        still-queued frames/queries they unblock), returning the responses
+        produced. No-op on the blocking engine modes."""
         out = []
         while self._spec_queue or (self.speculative
                                    and self.frame_embeds_queue):
@@ -731,6 +891,14 @@ class LiveInferEngine:
             if r is not None:
                 out.append((q, r))
             elif not self._spec_queue and not self.frame_embeds_queue:
+                break
+        while self._pipe or self._resp_out or (
+                self.pipelined and self.frame_embeds_queue):
+            q, r = self._call_pipe(force_resolve=True)
+            if r is not None:
+                out.append((q, r))
+            elif not self._pipe and not self._resp_out \
+                    and not self.frame_embeds_queue:
                 break
         return out
 
@@ -859,6 +1027,264 @@ class LiveInferEngine:
                 text = self._dev_text(cont_ids)
                 ntext = self._dev_i32(cont_n)
                 i += consumed
+        return None, None
+
+    def _call_stream(self) -> Tuple[Optional[str], Optional[str]]:
+        """Multi-response streaming step: one ingest_stream dispatch covers
+        a whole burst INCLUDING up to R_STREAM inline response turns; the
+        packed readback carries every response. Later responses queue in
+        _resp_out (surfaced by subsequent __call__s), keeping the public
+        one-response-per-call contract."""
+        if self._resp_out:
+            return self._resp_out.popleft()
+        max_new = self.cfg.max_response_tokens
+        iv = self.cfg.frame_token_interval_id
+        while self.frame_embeds_queue:
+            if self.query_queue and \
+                    self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
+                t, q = self.query_queue.popleft()
+                self._pending_prepend = []
+                return self._respond_at(t, q)
+            qt = self.query_queue[0][0] if self.query_queue else None
+            burst_times, burst_embeds = [], []
+            for t, e in self.frame_embeds_queue:
+                if qt is not None and t > qt:
+                    break
+                burst_times.append(t)
+                burst_embeds.append(e)
+            if not burst_times:
+                t, q = self.query_queue.popleft()
+                self._pending_prepend = []
+                return self._respond_at(t, q)
+            query_at_end = qt is not None and burst_times[-1] >= qt
+
+            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
+            if query_at_end:
+                query_prompt = self.tokenizer.apply_chat_template(
+                    [{"role": "user", "content": self.query_queue[0][1]}],
+                    tokenize=True, add_stream_query_prompt=True,
+                    add_generation_prompt=True)
+            else:
+                query_prompt = gen_prompt
+            n_max = max(len(gen_prompt), len(query_prompt))
+            bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
+
+            n = len(burst_times)
+            fb = next((b for b in BURST_BUCKETS if b >= n), BURST_BUCKETS[-1])
+            group = burst_embeds[:fb]
+            k = len(group)
+            # capacity guard at the dispatch's true worst case (every one of
+            # the R_STREAM inline turns runs); a tight ring falls back to
+            # the per-response-guarded fused path rather than compacting
+            # more than the single-response engines would
+            worst = (self._host_offset
+                     + k * (TEXT_BUCKET + self.frame_num_tokens)
+                     + R_STREAM * (bucket + max_new))
+            worst = self._maybe_compact(worst)
+            if worst > self.kv_capacity:
+                return self._call_fused()
+
+            first_text, first_n, _ = self._take_prepend()
+            thr = self._dev_thr()
+            jq = self._dev_prompt(query_prompt, bucket)
+            jg = self._dev_prompt(gen_prompt, bucket)
+            jqn = self._dev_i32(len(query_prompt))
+            jgn = self._dev_i32(len(gen_prompt))
+            qae = self._dev_bool(query_at_end and k == n)
+            # CHUNK_FRAMES slack keeps the device loop's dynamic_slice
+            # in-bounds at every consumed offset
+            frames = jnp.stack(list(group)
+                               + [group[-1]] * (fb + CHUNK_FRAMES - k))
+            self.cache, packed, _pt, _pn = self._ingest_stream(
+                self.params, self.cache, first_text, first_n, frames,
+                self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
+            consumed = self._absorb_stream_packed(
+                np.asarray(packed), burst_times, query_src=None)
+            for _ in range(consumed):
+                self.frame_embeds_queue.popleft()
+            if self._resp_out:
+                return self._resp_out.popleft()
+        return None, None
+
+    def _absorb_stream_packed(self, packed: np.ndarray, burst_times,
+                              query_src) -> int:
+        """Digest one ingest_stream packed readback: update the offset
+        mirror, queue response transcripts in _resp_out, and set the host
+        prepend mirror. query_src: None = pop answered queries from
+        query_queue (blocking driver); else the (t, query) the pipelined
+        driver popped eagerly at dispatch. Returns frames consumed."""
+        max_new = self.cfg.max_response_tokens
+        iv = self.cfg.frame_token_interval_id
+        consumed = int(packed[0])
+        n_resp = int(packed[1])
+        next_id = int(packed[2])
+        last_was_resp = bool(packed[3])
+        self._host_offset = int(packed[4])
+        r_len = packed[5:5 + R_STREAM]
+        r_gen = packed[5 + R_STREAM:5 + 2 * R_STREAM]
+        r_fidx = packed[5 + 2 * R_STREAM:5 + 3 * R_STREAM]
+        r_ids = packed[5 + 3 * R_STREAM:].reshape(R_STREAM, max_new)
+
+        if consumed:
+            self.video_time_processed = burst_times[consumed - 1]
+        for r in range(n_resp):
+            out = r_ids[r, :int(r_len[r])]
+            if int(r_gen[r]):
+                video_time, query = burst_times[int(r_fidx[r])], None
+            elif query_src is not None:
+                video_time, query = query_src
+            else:
+                video_time, query = self.query_queue.popleft()
+            if r == n_resp - 1 and last_was_resp:
+                # the final response's prepend was not consumed by the
+                # device loop; _finish_response queues it host-side
+                self._resp_out.append(
+                    self._finish_response(out, video_time, query))
+            else:
+                resp = self.tokenizer.decode(np.asarray(out, np.int32),
+                                             skip_special_tokens=True)
+                q_str = (f"(Video Time = {video_time}s) User: {query}"
+                         if query else None)
+                self._resp_out.append(
+                    (q_str, f"(Video Time = {video_time}s) Assistant:{resp}"))
+        if consumed and not last_was_resp:
+            self._pending_prepend = [next_id] if iv is not None else []
+        return consumed
+
+    # ---------------------------------------------- pipelined sustained mode
+    def _pipe_worst(self) -> int:
+        """Worst-case ring occupancy with every in-flight dispatch landing
+        at its full response budget."""
+        return self._host_offset + sum(e["worst"] for e in self._pipe)
+
+    def _pipe_fill(self):
+        """Dispatch queued bursts up to pipeline depth 2. Dispatches chain
+        through the device-resident prepend (ingest_stream's pre_text/pre_n
+        outputs), so no host readback sits between them; queries at a burst
+        end are popped eagerly (the device WILL answer them — guaranteed
+        unless R_STREAM exhausts mid-burst, which resolution rolls back)."""
+        max_new = self.cfg.max_response_tokens
+        while len(self._pipe) < 2 and self.frame_embeds_queue:
+            if self.query_queue and \
+                    self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
+                break  # standalone query turn: host respond path, pipe empty
+            qt = self.query_queue[0][0] if self.query_queue else None
+            burst_times, burst_embeds = [], []
+            for t, e in self.frame_embeds_queue:
+                if qt is not None and t > qt:
+                    break
+                burst_times.append(t)
+                burst_embeds.append(e)
+            if not burst_times:
+                break
+            query_at_end = qt is not None and burst_times[-1] >= qt
+
+            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
+            if query_at_end:
+                query_prompt = self.tokenizer.apply_chat_template(
+                    [{"role": "user", "content": self.query_queue[0][1]}],
+                    tokenize=True, add_stream_query_prompt=True,
+                    add_generation_prompt=True)
+            else:
+                query_prompt = gen_prompt
+            n_max = max(len(gen_prompt), len(query_prompt))
+            bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
+
+            n = len(burst_times)
+            fb = next((b for b in BURST_BUCKETS if b >= n), BURST_BUCKETS[-1])
+            group = burst_embeds[:fb]
+            k = len(group)
+            worst = (k * (TEXT_BUCKET + self.frame_num_tokens)
+                     + R_STREAM * (bucket + max_new))
+            if self._pipe_worst() + worst > self.kv_capacity:
+                if self._pipe:
+                    break  # resolve in-flight first, then compact/raise
+                w = self._maybe_compact(self._host_offset + worst)
+                if w > self.kv_capacity:
+                    raise RuntimeError(
+                        f"KV ring capacity {self.kv_capacity} would be "
+                        f"exceeded (offset {self._host_offset}); raise "
+                        f"kv_capacity, set stream_window, or reset()")
+
+            qae_flag = query_at_end and k == n
+            entry_query = self.query_queue.popleft() if qae_flag else None
+            if self._pipe and self._carry is not None:
+                first_text, first_n = self._carry
+            else:
+                first_text, first_n, _ = self._take_prepend()
+            thr = self._dev_thr()
+            jq = self._dev_prompt(query_prompt, bucket)
+            jg = self._dev_prompt(gen_prompt, bucket)
+            frames = jnp.stack(list(group)
+                               + [group[-1]] * (fb + CHUNK_FRAMES - k))
+            self.cache, packed, pre_text, pre_n = self._ingest_stream(
+                self.params, self.cache, first_text, first_n, frames,
+                self._dev_i32(k), thr, jq, self._dev_i32(len(query_prompt)),
+                jg, self._dev_i32(len(gen_prompt)),
+                self._dev_bool(qae_flag))
+            try:
+                packed.copy_to_host_async()  # overlap transfer with compute
+            except Exception:
+                pass
+            for _ in range(k):
+                self.frame_embeds_queue.popleft()
+            self._carry = (pre_text, pre_n)
+            self._pipe.append({
+                "k": k, "times": burst_times[:k], "embeds": group,
+                "qae": qae_flag, "query": entry_query, "packed": packed,
+                "worst": worst})
+
+    def _pipe_resolve(self):
+        """Read the oldest in-flight dispatch's packed result. The only
+        speculation to check: a dispatch that filled all R_STREAM response
+        slots mid-burst consumed fewer frames than the fill assumed — newer
+        dispatches then ingested the wrong continuation and are rolled back
+        (frames re-queued, ring offset rewound; their stale KV is beyond
+        the offset, never attended)."""
+        e = self._pipe.popleft()
+        packed = np.asarray(e["packed"])
+        consumed = self._absorb_stream_packed(packed, e["times"],
+                                              query_src=e["query"])
+        if consumed < e["k"]:
+            while self._pipe:
+                newer = self._pipe.pop()
+                for t, emb in zip(reversed(newer["times"]),
+                                  reversed(newer["embeds"])):
+                    self.frame_embeds_queue.appendleft((t, emb))
+                if newer["query"] is not None:
+                    self.query_queue.appendleft(newer["query"])
+            for t, emb in zip(reversed(e["times"][consumed:]),
+                              reversed(e["embeds"][consumed:])):
+                self.frame_embeds_queue.appendleft((t, emb))
+            if e["query"] is not None:
+                # consumed < k means the burst never completed, so the
+                # query turn cannot have run — restore it
+                self.query_queue.appendleft(e["query"])
+            self._carry = None
+            self.cache = self._set_offset_jit(
+                self.cache, jnp.asarray([self._host_offset], jnp.int32))
+        if not self._pipe:
+            self._carry = None
+
+    def _call_pipe(self, force_resolve: bool = False
+                   ) -> Tuple[Optional[str], Optional[str]]:
+        if self._resp_out:
+            return self._resp_out.popleft()
+        self._pipe_fill()
+        # standalone query (strictly before the next queued frame): needs
+        # the host respond path with nothing in flight
+        blocked_query = (self.query_queue and self.frame_embeds_queue
+                         and self.frame_embeds_queue[0][0]
+                         > self.query_queue[0][0])
+        if blocked_query and not self._pipe:
+            t, q = self.query_queue.popleft()
+            self._pending_prepend = []
+            return self._respond_at(t, q)
+        if self._pipe and (force_resolve or len(self._pipe) >= 2
+                           or blocked_query):
+            self._pipe_resolve()
+            if self._resp_out:
+                return self._resp_out.popleft()
         return None, None
 
     def _finish_response(self, out_ids: np.ndarray, video_time, query
