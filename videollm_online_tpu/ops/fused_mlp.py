@@ -88,7 +88,7 @@ def fused_mlp_int8(x, wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * F * 3,
             bytes_accessed=3 * D * F + 4 * (2 * F + D) + 2 * B * D,
@@ -107,33 +107,53 @@ def _deq_groups(q, scale):
     (layout-free on TPU)."""
     R, C = q.shape
     n_groups = scale.shape[0]
-    w = q.astype(jnp.bfloat16).reshape(n_groups, R // n_groups, C)
-    w = w * scale[:, None, :].astype(jnp.bfloat16)
-    return w.reshape(R, C)
+    # scale-mul in f32 (v5e VPU: no bf16 ALU), single convert at the end
+    w = q.astype(jnp.float32).reshape(n_groups, R // n_groups, C)
+    w = w * scale[:, None, :].astype(jnp.float32)
+    return w.reshape(R, C).astype(jnp.bfloat16)
+
+
+def _unpack_f32(p):
+    """Nibble unpack in f32 arithmetic. Mosaic has no i8 vector shifts and
+    the v5e VPU has no bf16 ALU (bf16 is storage-only), so the unpack runs
+    float: every packed byte value (|p| <= 128) and every intermediate is
+    an integer exact in f32. p = 16*hi + lo_u with hi in [-8,7], lo_u in
+    [0,15]; the floor(lo_u/8) term is the {0,1} high-half mask rebasing
+    lo_u to signed (arithmetic-only: vector compares don't legalize)."""
+    f = p.astype(jnp.float32)
+    hi = jnp.floor(f * (1.0 / 16.0))
+    lo_u = f - hi * 16.0
+    lo = lo_u - 16.0 * jnp.floor(lo_u * (1.0 / 8.0))
+    return lo, hi
 
 
 def _kernel_int4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
-                 out_ref):
-    """One F-block step of the int4 SwiGLU MLP.
+                 out_ref, *, gfb2: int):
+    """One (F-block, column-half) step of the int4 SwiGLU MLP.
 
     The reduction over F is permutation-invariant, so the grid walks F in
-    PACKED-PAIR order: step j covers unpacked F-columns {[j*PB,(j+1)*PB)}
-    of BOTH halves (wd byte row r packs F-rows r and r+F/2). wg/wu arrive
-    viewed as (D/2, 2, F/2) — [:, h, :] is column-half h — and wd as its
-    natural packed (F/2, D) rows. Nibbles unpack with two arithmetic
-    shifts; scales apply to the bf16 weights per 128-row group (matching
-    models/quant._dequantize_int4 numerics: bf16 weight products, f32
-    matmul accumulation)."""
-    j = pl.program_id(0)
+    PACKED-PAIR order over a 2-D grid (j, h): step (j, h) covers unpacked
+    F-columns [h*F/2 + j*PB, h*F/2 + (j+1)*PB) — h selects which nibble of
+    the wd byte rows [j*PB, (j+1)*PB) (row r packs F-rows r and r+F/2).
+    The half-selection rides the GRID, not a mid-tensor slice: every block
+    stays rank-2 with native (32, 128)-tiled int8 layout (a (.., 2, PB)
+    block tiles its last two dims — sublane dim 2 → 16x padded DMA and
+    VPU; measured 23 GB/s before this layout). h is the INNER grid dim, so
+    the wd block index is unchanged between the two h-steps and Mosaic
+    skips its re-fetch. Nibbles unpack via f32 floor-arithmetic
+    (_unpack_f32); scales apply per 128-row group in f32 (matching
+    models/quant._dequantize_int4 numerics up to f32 scale-mul)."""
+    h = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, h == 0)
+
     x = x_ref[:]                                    # (B, D) bf16
     D = x.shape[1]
     xl, xh = x[:, : D // 2], x[:, D // 2:]
 
-    def gate_up(w_ref, s_ref, h):
-        p = w_ref[:, h, :]                          # (D/2, PB) packed int8
-        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)   # D-rows [0, D/2)
-        hi = jnp.right_shift(p, 4)                      # D-rows [D/2, D)
-        s = s_ref[:, h, :]                          # (G, PB), G = D/group
+    def gate_up(w_ref, s_ref):
+        p = w_ref[:]                                # (D/2, PB) packed int8
+        lo, hi = _unpack_f32(p)                     # D-rows [0,D/2), [D/2,D)
+        s = s_ref[:]                                # (G, PB), G = D/group
         G = s.shape[0]
         y = jnp.dot(xl, _deq_groups(lo, s[: G // 2]),
                     preferred_element_type=jnp.float32)
@@ -141,25 +161,23 @@ def _kernel_int4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
                      preferred_element_type=jnp.float32)
         return y                                    # (B, PB) f32
 
-    pd = wd_ref[:]                                  # (PB, D) packed int8
-    acc = None
-    for h in (0, 1):                                # F column-half
-        g = gate_up(wg_ref, sg_ref, h)
-        u = gate_up(wu_ref, su_ref, h)
-        hid = ((g * jax.nn.sigmoid(g)) * u).astype(jnp.bfloat16)
-        nib = (jnp.right_shift(jnp.left_shift(pd, 4), 4) if h == 0
-               else jnp.right_shift(pd, 4))
-        wd = _deq_groups(nib, sd_ref[h])            # (PB, D) bf16
-        p = jnp.dot(hid, wd, preferred_element_type=jnp.float32)
-        acc = p if acc is None else acc + p
+    g = gate_up(wg_ref, sg_ref)
+    u = gate_up(wu_ref, su_ref)
+    hid = ((g * jax.nn.sigmoid(g)) * u).astype(jnp.bfloat16)
+    lo_d, hi_d = _unpack_f32(wd_ref[:])             # (PB, D) f32 each
+    nib = jnp.where(h == 0, lo_d, hi_d)
+    # sd block (1, P, D): rows [0, gfb2) = this (j, h)-step's F-group
+    # scales (host-permuted into per-step order, 8-padded leading rows)
+    wd = _deq_groups(nib, sd_ref[0, :gfb2, :])
+    p = jnp.dot(hid, wd, preferred_element_type=jnp.float32)
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _():
-        out_ref[:] = acc
+        out_ref[:] = p
 
-    @pl.when(j > 0)
+    @pl.when(jnp.logical_not(first))
     def _():
-        out_ref[:] = out_ref[:] + acc
+        out_ref[:] = out_ref[:] + p
 
 
 @functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
@@ -185,41 +203,50 @@ def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
     gf = wd_s.shape[0]                  # F-groups
     group_f = F // gf
     assert gd % 2 == 0 and gf % 2 == 0 and fb % group_f == 0, (gd, gf, fb)
-    gfb = 2 * fb // group_f             # F-groups per block (both halves)
-    grid = (half // fb,)
+    gfb2 = fb // group_f                # F-groups per (j, h) step
+    steps = half // fb
+    grid = (steps, 2)                   # h (column half) INNER: wd block
+    #                                     index is h-invariant -> one fetch
+    # wd scales permuted into per-(j, h)-step order: one contiguous leading
+    # block index each step, rows 8-padded (Mosaic block rule: trailing
+    # two dims (8-mult, 128-mult) or full)
+    sd = wd_s.reshape(2, steps, gfb2, D).transpose(1, 0, 2, 3)
+    sd = sd.reshape(steps * 2, gfb2, D)
+    P = ((gfb2 + 7) // 8) * 8
+    if P != gfb2:
+        sd = jnp.pad(sd, ((0, 0), (0, P - gfb2), (0, 0)))
 
     out = pl.pallas_call(
-        _kernel_int4,
+        functools.partial(_kernel_int4, gfb2=gfb2),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D // 2, 2, fb), lambda j: (0, 0, j),
+            pl.BlockSpec((B, D), lambda j, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gd, 2, fb), lambda j: (0, 0, j),
+            pl.BlockSpec((D // 2, fb), lambda j, h: (0, h * steps + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D // 2, 2, fb), lambda j: (0, 0, j),
+            pl.BlockSpec((gd, fb), lambda j, h: (0, h * steps + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gd, 2, fb), lambda j: (0, 0, j),
+            pl.BlockSpec((D // 2, fb), lambda j, h: (0, h * steps + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, gfb // 2, D), lambda j: (0, j, 0),
+            pl.BlockSpec((gd, fb), lambda j, h: (0, h * steps + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, D), lambda j, h: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, D), lambda j, h: (2 * j + h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, D), lambda j: (0, 0),
+        out_specs=pl.BlockSpec((B, D), lambda j, h: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * F * 3,
             bytes_accessed=3 * D * F // 2 + 2 * B * D,
             transcendentals=B * F,
         ),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16),
-      wg_p.reshape(D // 2, 2, half), wg_s.reshape(gd, 2, half),
-      wu_p.reshape(D // 2, 2, half), wu_s.reshape(gd, 2, half),
-      wd_p, wd_s.reshape(2, gf // 2, D))
+    )(x.astype(jnp.bfloat16), wg_p, wg_s, wu_p, wu_s, wd_p, sd)
     return out.astype(x.dtype)
 
 
@@ -274,11 +301,12 @@ def maybe_fused(x, layer_params, layer_lora):
     if not all(isinstance(m, dict) for m in mats):
         return None
     wg, wu, wd = mats
-    if all("q8" in m for m in mats):
-        F = wg["q8"].shape[1]
-        if D % 256 or F % 512:
-            return None
-        return mlp_int8(x, layer_params)
+    # int8: SETTLED — XLA's fused convert-matmul with cross-op weight
+    # prefetch wins (3.5 vs 5.2 ms per 8-layer MLP scan, benchmarks/
+    # mlp_bench.py); the int8 kernel stays for A/B but is not dispatched.
+    # int4: the kernel dequantizes nibbles in-registers, which XLA cannot
+    # (it materializes the unpacked operand; the int4 engine measured 3x
+    # slower than int8 via XLA) — dispatch it for int4-quantized layers.
     if all("q4p" in m for m in mats):
         F = wg["q4p"].shape[1]
         gd, gf = wg["scale"].shape[0], wd["scale"].shape[0]

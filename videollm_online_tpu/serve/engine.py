@@ -24,6 +24,7 @@ every generated token.
 from __future__ import annotations
 
 import collections
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -41,6 +42,36 @@ PROMPT_BUCKETS = (32, 64, 128, 256)  # prefill / query-response prompts
 CHUNK_FRAMES = 8       # frames per chunked-ingest dispatch (catch-up bursts)
 BURST_BUCKETS = (32, 64)  # whole-burst device loop: frames per dispatch
 R_STREAM = 4   # max response turns inside one ingest_stream dispatch
+
+
+class _FrameRef:
+    """Lazy handle to row ``idx`` of a device frame chunk (T, fnt, D).
+
+    Enqueueing frames must not dispatch device work: eager per-row slices
+    at enqueue plus a per-burst jnp.stack cost one tunnel dispatch EACH.
+    Refs defer everything; a contiguous run from one chunk assembles into
+    the burst operand with a single dynamic_slice+pad dispatch."""
+    __slots__ = ("src", "idx")
+
+    def __init__(self, src: jax.Array, idx: int):
+        self.src = src
+        self.idx = idx
+
+    def materialize(self) -> jax.Array:
+        return self.src[self.idx]
+
+
+def _frame_row(e) -> jax.Array:
+    return e.materialize() if isinstance(e, _FrameRef) else e
+
+
+@functools.partial(jax.jit, static_argnames=("k", "out_len"))
+def _slice_pad_frames(src, i0, k: int, out_len: int):
+    seg = jax.lax.dynamic_slice(src, (i0, 0, 0), (k,) + src.shape[1:])
+    if out_len == k:
+        return seg
+    pad = jnp.zeros((out_len - k,) + src.shape[1:], src.dtype)
+    return jnp.concatenate([seg, pad], axis=0)
 
 
 def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
@@ -742,7 +773,7 @@ class LiveInferEngine:
             embeds = self._embed_chunk(chunk)
             for off, r in enumerate(rng):
                 self.frame_embeds_queue.append(
-                    (r / self.frame_fps, embeds[off]))
+                    (r / self.frame_fps, _FrameRef(embeds, off)))
             self.last_frame_idx = frame_idx
         self.video_time = video_time
 
@@ -759,6 +790,29 @@ class LiveInferEngine:
             feats = feats[:, None, :]
         flat = self._project(self.params, feats)
         return flat.reshape(-1, self.frame_num_tokens, self.hidden)
+
+    def _frames_operand(self, group, out_len: int) -> jax.Array:
+        """(out_len, fnt, D) burst operand from queue entries. A contiguous
+        run of refs into one source chunk assembles with a single
+        dynamic_slice+pad dispatch (the common case: each input feed is one
+        chunk); anything else stacks materialized rows. Pad rows are zeros —
+        they sit after the valid sequence (causal mask) and their ring
+        writes land beyond the consumed offset (trimmed), so values are
+        never observed."""
+        k = len(group)
+        first = group[0] if k else None
+        if (isinstance(first, _FrameRef)
+                and all(isinstance(e, _FrameRef) and e.src is first.src
+                        and e.idx == first.idx + i
+                        for i, e in enumerate(group))
+                and first.idx + k <= first.src.shape[0]):
+            return _slice_pad_frames(first.src, first.idx, k=k,
+                                     out_len=out_len)
+        rows = jnp.stack([_frame_row(e) for e in group])
+        if out_len == k:
+            return rows
+        pad = jnp.zeros((out_len - k,) + rows.shape[1:], rows.dtype)
+        return jnp.concatenate([rows, pad], axis=0)
 
     # ------------------------------------------------------------- main loop
     def __call__(self) -> Tuple[Optional[str], Optional[str]]:
@@ -813,7 +867,7 @@ class LiveInferEngine:
             first_text, first_n, n_pre = self._take_prepend()
             self.cache, packed = self._ingest(
                 self.params, self.cache, first_text, first_n,
-                jnp.stack([emb]), self._dev_i32(1), thr)
+                self._frames_operand([emb], 1), self._dev_i32(1), thr)
             try:
                 packed.copy_to_host_async()  # overlap transfer with compute
             except Exception:
@@ -978,8 +1032,7 @@ class LiveInferEngine:
                     k = len(group)
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
-                    frames = jnp.stack(list(group)
-                                       + [group[-1]] * (bucket - k))
+                    frames = self._frames_operand(group, bucket)
                     self.cache, packed = self._ingest_burstloop_respond(
                         self.params, self.cache, text, ntext, frames,
                         self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
@@ -988,8 +1041,7 @@ class LiveInferEngine:
                     k = len(group)
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
-                    frames = jnp.stack(list(group)
-                                       + [group[-1]] * (CHUNK_FRAMES - k))
+                    frames = self._frames_operand(group, CHUNK_FRAMES)
                     self.cache, packed = self._ingest_chunk_respond(
                         self.params, self.cache, text, ntext, frames,
                         self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
@@ -998,7 +1050,7 @@ class LiveInferEngine:
                     k = len(group)
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
-                    frames = jnp.stack(list(group))
+                    frames = self._frames_operand(group, k)
                     self.cache, packed = self._ingest_burst_respond(
                         self.params, self.cache, text, ntext, frames,
                         self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
@@ -1093,8 +1145,7 @@ class LiveInferEngine:
             qae = self._dev_bool(query_at_end and k == n)
             # CHUNK_FRAMES slack keeps the device loop's dynamic_slice
             # in-bounds at every consumed offset
-            frames = jnp.stack(list(group)
-                               + [group[-1]] * (fb + CHUNK_FRAMES - k))
+            frames = self._frames_operand(group, fb + CHUNK_FRAMES)
             self.cache, packed, _pt, _pn = self._ingest_stream(
                 self.params, self.cache, first_text, first_n, frames,
                 self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
@@ -1215,8 +1266,7 @@ class LiveInferEngine:
             thr = self._dev_thr()
             jq = self._dev_prompt(query_prompt, bucket)
             jg = self._dev_prompt(gen_prompt, bucket)
-            frames = jnp.stack(list(group)
-                               + [group[-1]] * (fb + CHUNK_FRAMES - k))
+            frames = self._frames_operand(group, fb + CHUNK_FRAMES)
             self.cache, packed, pre_text, pre_n = self._ingest_stream(
                 self.params, self.cache, first_text, first_n, frames,
                 self._dev_i32(k), thr, jq, self._dev_i32(len(query_prompt)),
@@ -1343,7 +1393,7 @@ class LiveInferEngine:
                 consumed, fire, next_id = self._ingest_chunks(
                     burst_embeds, first_text, first_n, thr)
             else:
-                frames = jnp.stack(burst_embeds)
+                frames = self._frames_operand(burst_embeds, len(burst_embeds))
                 self.cache, packed = self._ingest(
                     self.params, self.cache, first_text, first_n, frames,
                     self._dev_i32(n_burst), thr)
@@ -1391,8 +1441,7 @@ class LiveInferEngine:
         while i < n and not fire:
             group = burst_embeds[i:i + CHUNK_FRAMES]
             k = len(group)
-            frames = jnp.stack(list(group)
-                               + [group[-1]] * (CHUNK_FRAMES - k))
+            frames = self._frames_operand(group, CHUNK_FRAMES)
             text = first_text if i == 0 else self._dev_text(cont_ids)
             ntext = first_n if i == 0 else self._dev_i32(cont_n)
             self.cache, packed = self._ingest_chunk(
