@@ -163,10 +163,14 @@ def main():
         # pacing; responses may surface one call later (content-identical)
         if os.environ.get("BENCH_SPECULATIVE", "") in ("1", "true"):
             engine.speculative = True
-        # BENCH_PIPELINED=1: sustained-mode dispatch pipelining (burst i+1
-        # dispatched before burst i's readback, chained via the device-
-        # resident prepend); hides the per-burst readback RTT
-        if os.environ.get("BENCH_PIPELINED", "") in ("1", "true"):
+        # BENCH_PIPELINED=0 disables sustained-mode dispatch pipelining
+        # (burst i+1 dispatched before burst i's readback, chained via the
+        # device-resident prepend). Default ON for sustained pacing: it is
+        # the deployment configuration (content-identical transcripts,
+        # oracle-tested) and hides the per-burst readback RTT.
+        if pacing == "sustained" and not engine.speculative \
+                and os.environ.get("BENCH_PIPELINED", "1") \
+                not in ("0", "false"):
             engine.pipelined = True
 
         def run(ticks):

@@ -670,6 +670,19 @@ class LiveInferEngine:
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
 
+        def project_padded(p, feats, out_len: int):
+            """Project AND zero-pad to the burst-operand length in one
+            dispatch: when a burst is one whole input feed (the sustained
+            steady state), the padded projector output IS the ingest
+            operand — no assembly dispatch at all."""
+            flat = live.visual_embed(p, feats, cfg)
+            flat = flat.reshape(-1, fnt, self.hidden)
+            pad = jnp.zeros((out_len - flat.shape[0], fnt, self.hidden),
+                            flat.dtype)
+            return jnp.concatenate([flat, pad], axis=0)
+
+        self._project_padded = jax.jit(project_padded, static_argnums=(2,))
+
         if self.vision_params is not None:
             from ..models import siglip
 
@@ -788,6 +801,13 @@ class LiveInferEngine:
         feats = jnp.asarray(chunk)
         if feats.ndim == 2:  # (T, vision_hidden) = live1 layout
             feats = feats[:, None, :]
+        T = feats.shape[0]
+        fb = next((b for b in BURST_BUCKETS if b >= T), None)
+        if fb is not None:
+            # pad to the burst bucket inside the projector dispatch — a
+            # whole-feed burst then reuses this array as its operand
+            return self._project_padded(self.params, feats,
+                                        fb + CHUNK_FRAMES)
         flat = self._project(self.params, feats)
         return flat.reshape(-1, self.frame_num_tokens, self.hidden)
 
@@ -806,6 +826,10 @@ class LiveInferEngine:
                         and e.idx == first.idx + i
                         for i, e in enumerate(group))
                 and first.idx + k <= first.src.shape[0]):
+            if first.idx == 0 and first.src.shape[0] == out_len:
+                # whole-feed burst over a bucket-padded projector output:
+                # the stored chunk IS the operand — zero dispatches
+                return first.src
             return _slice_pad_frames(first.src, first.idx, k=k,
                                      out_len=out_len)
         rows = jnp.stack([_frame_row(e) for e in group])
