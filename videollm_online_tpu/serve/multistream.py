@@ -18,6 +18,7 @@ device work is always batch-(N) shaped."""
 from __future__ import annotations
 
 import collections
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -28,12 +29,28 @@ import jax.numpy as jnp
 from ..core.config import LiveConfig
 from ..models import llama, live
 from ..tokenizer.live_tokenizer import LiveTokenizer
+from .engine import _FrameRef, _frame_row
 
 TEXT_BUCKET = 4
 PROMPT_BUCKET = 128
 
 
 CHUNK_FRAMES = 8
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_k(srcs, starts, K: int):
+    """(N, T, fnt, D) sources + per-stream starts -> (N, K, fnt, D) f32.
+    Zero-pads each source by K rows first so the slice never clamps
+    (a clamped dynamic_slice would silently misalign the burst)."""
+    pad = jnp.zeros((srcs.shape[0], K) + srcs.shape[2:], srcs.dtype)
+    padded = jnp.concatenate([srcs, pad], axis=1)
+
+    def one(src, i0):
+        return jax.lax.dynamic_slice(
+            src, (i0, 0, 0), (K,) + src.shape[1:])
+
+    return jax.vmap(one)(padded, starts).astype(jnp.float32)
 
 
 class MultiStreamEngine:
@@ -282,12 +299,59 @@ class MultiStreamEngine:
             feats = feats[:, None, :]
         embeds = self._project(self.params, feats).reshape(
             -1, self.fnt, self.hidden)
+        # lazy refs (engine._FrameRef): enqueueing dispatches nothing, and
+        # a whole-chunk burst assembles into the (N, K, fnt, D) operand
+        # with ONE stack op in step() instead of N*K slices + stacks
         for i in range(embeds.shape[0]):
             self.frame_queues[stream].append(
-                (video_time + i / self.frame_fps, embeds[i]))
+                (video_time + i / self.frame_fps, _FrameRef(embeds, i)))
 
     def input_query(self, stream: int, query: str, video_time: float):
         self.query_queues[stream].append((video_time, query))
+
+    def _gather_chunks(self, bursts, active, K: int) -> jax.Array:
+        """(N, K, fnt, D) chunk operand. Fast path: every active burst is a
+        contiguous run of refs into one equally-shaped source chunk — ONE
+        stack + ONE vmapped gather dispatch total, instead of N*K eager
+        slices + N+1 stacks (each a tunnel dispatch). Rows gathered past a
+        burst's n_frames are never valid tokens, so over-reads within the
+        padded source are harmless. Fallback: per-frame materialize+stack."""
+        srcs, starts = [], []
+        shape = None
+        fast = True
+        for i in range(self.N):
+            if not active[i]:
+                srcs.append(None)
+                starts.append(0)
+                continue
+            group = [e for _, e in bursts[i]]
+            first = group[0]
+            if not (isinstance(first, _FrameRef)
+                    and all(isinstance(e, _FrameRef) and e.src is first.src
+                            and e.idx == first.idx + j
+                            for j, e in enumerate(group))):
+                fast = False
+                break
+            if shape is None:
+                shape = first.src.shape
+            elif first.src.shape != shape:
+                fast = False
+                break
+            srcs.append(first.src)
+            starts.append(first.idx)
+        if fast and shape is not None:
+            dt = next(s.dtype for s in srcs if s is not None)
+            zero_chunk = jnp.zeros(shape, dt)
+            stacked = jnp.stack([(s if s is not None else zero_chunk)
+                                 for s in srcs])
+            return _gather_k(stacked, jnp.asarray(starts, jnp.int32), K)
+        zero_frame = jnp.zeros((self.fnt, self.hidden), jnp.float32)
+        rows = []
+        for i in range(self.N):
+            embs = [_frame_row(e) for _, e in bursts[i]]
+            embs += [zero_frame] * (K - len(embs))
+            rows.append(jnp.stack(embs))
+        return jnp.stack(rows).astype(jnp.float32)
 
     # ------------------------------------------------------------------ tick
     def _prefill_starts(self):
@@ -381,7 +445,7 @@ class MultiStreamEngine:
                 # keep frame embeds ON DEVICE: np.asarray per frame would be
                 # a device->host readback each (a full RTT on tunneled TPUs)
                 frames = jnp.stack([
-                    bursts[i][0][1] if active[i] else zero_frame
+                    _frame_row(bursts[i][0][1]) if active[i] else zero_frame
                     for i in range(self.N)])
                 self.cache, packed = self._frame_step(
                     self.params, self.cache, jnp.asarray(text_ids),
@@ -394,13 +458,9 @@ class MultiStreamEngine:
                 consumed = active.astype(np.int64)
             else:
                 n_frames = np.zeros((self.N,), np.int32)
-                rows = []
                 for i in range(self.N):
-                    embs = [e for _, e in bursts[i]]
-                    n_frames[i] = len(embs)
-                    embs += [zero_frame] * (K - len(embs))
-                    rows.append(jnp.stack(embs))
-                frames = jnp.stack(rows).astype(jnp.float32)
+                    n_frames[i] = len(bursts[i])
+                frames = self._gather_chunks(bursts, active, K)
                 self.cache, packed = self._chunk_step(
                     self.params, self.cache, jnp.asarray(text_ids),
                     jnp.asarray(n_text), frames,
