@@ -109,6 +109,12 @@ class LiveInferEngine:
         # speculative mode). Transcripts are content-identical; responses
         # can surface one __call__ later. Opt-in.
         self.pipelined = pipelined
+        # depth 2 = one unresolved dispatch in flight. Measured: depth 3
+        # changes nothing (20.35 vs 20.34 FPS on the 8B headline) — the
+        # cycle is device-compute-bound once one dispatch of overlap hides
+        # the readback+dispatch overhead — so keep the lower response
+        # latency of depth 2.
+        self.pipeline_depth = 2
         assert not (pipelined and speculative), \
             "pipelined (sustained) and speculative (realtime) are exclusive"
         # multi_respond: the sustained path dispatches ONE device program
@@ -1239,7 +1245,8 @@ class LiveInferEngine:
         end are popped eagerly (the device WILL answer them — guaranteed
         unless R_STREAM exhausts mid-burst, which resolution rolls back)."""
         max_new = self.cfg.max_response_tokens
-        while len(self._pipe) < 2 and self.frame_embeds_queue:
+        while len(self._pipe) < self.pipeline_depth \
+                and self.frame_embeds_queue:
             if self.query_queue and \
                     self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
                 break  # standalone query turn: host respond path, pipe empty
@@ -1354,7 +1361,8 @@ class LiveInferEngine:
             t, q = self.query_queue.popleft()
             self._pending_prepend = []
             return self._respond_at(t, q)
-        if self._pipe and (force_resolve or len(self._pipe) >= 2
+        if self._pipe and (force_resolve
+                           or len(self._pipe) >= self.pipeline_depth
                            or blocked_query):
             self._pipe_resolve()
             if self._resp_out:
