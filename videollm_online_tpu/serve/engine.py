@@ -567,9 +567,35 @@ class LiveInferEngine:
                 return jnp.logical_and(consumed < n_frames,
                                        n_resp < R_STREAM)
 
+            def respond_branch(cache, sel_ids, sel_n):
+                embeds = llama.embed_tokens(params["llama"], sel_ids,
+                                            cfg.llama)
+                embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
+                out_ids, length, cache = gen_mod.greedy_generate(
+                    params, cfg, cache, embeds, sel_n[None],
+                    max_new_tokens=max_new, attn_impl=self.attn_impl)
+                return cache, length[0], out_ids[0]
+
+            def record(do, n_resp, slot_arrays, out, length, use_gen,
+                       consumed):
+                r_ids, r_len, r_gen, r_fidx = slot_arrays
+                slot = jnp.where(do, n_resp, R_STREAM - 1)
+                r_ids = jax.lax.cond(
+                    do,
+                    lambda b: jax.lax.dynamic_update_slice(
+                        b, out[None], (slot, 0)),
+                    lambda b: b, r_ids)
+                r_len = jnp.where(do, r_len.at[slot].set(length), r_len)
+                r_gen = jnp.where(
+                    do, r_gen.at[slot].set(use_gen.astype(jnp.int32)), r_gen)
+                r_fidx = jnp.where(do, r_fidx.at[slot].set(consumed - 1),
+                                   r_fidx)
+                return (r_ids, r_len, r_gen, r_fidx,
+                        n_resp + do.astype(jnp.int32))
+
             def body(st):
                 (cache, consumed, n_resp, pre_text, pre_n, _next_id,
-                 _lwr, r_ids, r_len, r_gen, r_fidx) = st
+                 _lwr, _tail, _tgen, r_ids, r_len, r_gen, r_fidx) = st
                 chunk = jax.lax.dynamic_slice(
                     frames, (consumed, 0, 0),
                     (CHUNK_FRAMES, fnt, self.hidden))
@@ -582,54 +608,61 @@ class LiveInferEngine:
                 use_gen = jnp.logical_and(fire,
                                           jnp.logical_not(query_triggers))
                 do_respond = jnp.logical_or(fire, query_triggers)
+                # a respond at the burst END (the common case: one query
+                # turn per burst) hoists OUT of this while_loop — XLA
+                # schedules the post-loop decode measurably faster than
+                # the same while_loop nested here (~1.5-3 ms/token)
+                do_inline = jnp.logical_and(do_respond,
+                                            jnp.logical_not(full))
                 sel_ids = jnp.where(use_gen, gen_ids, query_ids)
                 sel_n = jnp.where(use_gen, gen_n, query_n)
 
-                def respond_branch(cache):
-                    embeds = llama.embed_tokens(params["llama"], sel_ids,
-                                                cfg.llama)
-                    embeds = _pack_valid_first(embeds, sel_ids.shape[1],
-                                               sel_n)
-                    out_ids, length, cache = gen_mod.greedy_generate(
-                        params, cfg, cache, embeds, sel_n[None],
-                        max_new_tokens=max_new, attn_impl=self.attn_impl)
-                    return cache, length[0], out_ids[0]
-
-                def no_respond(cache):
-                    return (cache, jnp.asarray(0, jnp.int32),
-                            jnp.zeros((max_new,), jnp.int32))
-
                 cache, length, out = jax.lax.cond(
-                    do_respond, respond_branch, no_respond, cache)
-                slot = jnp.where(do_respond, n_resp, R_STREAM - 1)
-                r_ids = jax.lax.cond(
-                    do_respond,
-                    lambda b: jax.lax.dynamic_update_slice(
-                        b, out[None], (slot, 0)),
-                    lambda b: b, r_ids)
-                r_len = jnp.where(do_respond, r_len.at[slot].set(length),
-                                  r_len)
-                r_gen = jnp.where(
-                    do_respond, r_gen.at[slot].set(use_gen.astype(jnp.int32)),
-                    r_gen)
-                r_fidx = jnp.where(do_respond,
-                                   r_fidx.at[slot].set(consumed - 1), r_fidx)
-                n_resp = n_resp + do_respond.astype(jnp.int32)
+                    do_inline,
+                    lambda c: respond_branch(c, sel_ids, sel_n),
+                    lambda c: (c, jnp.asarray(0, jnp.int32),
+                               jnp.zeros((max_new,), jnp.int32)),
+                    cache)
+                r_ids, r_len, r_gen, r_fidx, n_resp = record(
+                    do_inline, n_resp, (r_ids, r_len, r_gen, r_fidx), out,
+                    length, use_gen, consumed)
                 rp_text, rp_n = _post_response_prepend(out, length)
-                pre_text = jnp.where(do_respond, rp_text, interval_text)
-                pre_n = jnp.where(do_respond, rp_n, interval_n)
+                pre_text = jnp.where(do_inline, rp_text, interval_text)
+                pre_n = jnp.where(do_inline, rp_n, interval_n)
+                tail = jnp.logical_and(do_respond, full)
                 return (cache, consumed, n_resp, pre_text, pre_n, nid,
-                        do_respond, r_ids, r_len, r_gen, r_fidx)
+                        do_inline, tail, use_gen, r_ids, r_len, r_gen,
+                        r_fidx)
 
             init = (cache, jnp.asarray(0, jnp.int32),
                     jnp.asarray(0, jnp.int32), first_text, first_n,
                     jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                    jnp.asarray(False), jnp.asarray(False),
                     jnp.zeros((R_STREAM, max_new), jnp.int32),
                     jnp.zeros((R_STREAM,), jnp.int32),
                     jnp.zeros((R_STREAM,), jnp.int32),
                     jnp.zeros((R_STREAM,), jnp.int32))
-            (cache, consumed, n_resp, pre_text, pre_n, next_id, lwr, r_ids,
-             r_len, r_gen, r_fidx) = jax.lax.while_loop(cond, body, init)
+            (cache, consumed, n_resp, pre_text, pre_n, next_id, lwr, tail,
+             tail_gen, r_ids, r_len, r_gen,
+             r_fidx) = jax.lax.while_loop(cond, body, init)
+
+            # burst-end response turn, hoisted out of the loop
+            t_ids = jnp.where(tail_gen, gen_ids, query_ids)
+            t_n = jnp.where(tail_gen, gen_n, query_n)
+            cache, t_len, t_out = jax.lax.cond(
+                tail,
+                lambda c: respond_branch(c, t_ids, t_n),
+                lambda c: (c, jnp.asarray(0, jnp.int32),
+                           jnp.zeros((max_new,), jnp.int32)),
+                cache)
+            r_ids, r_len, r_gen, r_fidx, n_resp = record(
+                tail, n_resp, (r_ids, r_len, r_gen, r_fidx), t_out, t_len,
+                tail_gen, consumed)
+            t_text, t_pre_n = _post_response_prepend(t_out, t_len)
+            pre_text = jnp.where(tail, t_text, pre_text)
+            pre_n = jnp.where(tail, t_pre_n, pre_n)
+            lwr = jnp.logical_or(lwr, tail)
+
             packed = jnp.concatenate([
                 jnp.stack([consumed, n_resp, next_id,
                            lwr.astype(jnp.int32), cache.offset[0]]),
