@@ -386,6 +386,35 @@ def test_pipelined_content_equals_blocking(threshold, queries, feed_every):
     assert a._host_offset == b._host_offset
 
 
+def test_pipelined_tight_ring_progress():
+    """A ring with room for the stream but NOT for the R_STREAM worst-case
+    reservation must degrade to the single-turn fused path and keep
+    consuming frames through the public __call__ loop alone — the
+    capacity-blocked fill previously livelocked (never resolving the one
+    in-flight dispatch, never dispatching again)."""
+    cfg, tok, params = _setup(threshold=0.725, seed=3)
+    cfg = cfg.replace(gate_logit_bias=50.0)  # pinned no-fire gate
+    n_frames = 24
+    rng = np.random.RandomState(5)
+    feats = rng.randn(n_frames, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    probe = LiveInferEngine(params, tok, cfg, kv_capacity=4096)
+    start = len(probe._start_ids)
+    cap = (start + n_frames * (4 + cfg.frame_num_tokens) + 32
+           + cfg.max_response_tokens + 16)
+    a = LiveInferEngine(params, tok, cfg, kv_capacity=cap, pipelined=True)
+    b = LiveInferEngine(params, tok, cfg, kv_capacity=cap)
+    for eng in (a, b):
+        eng.load_video(feats)
+        for t in [3.5, 7.5, 11.5]:
+            eng.input_video_stream(t)
+            for _ in range(50):  # __call__-only driver: no flush
+                if eng() == (None, None) and not eng._pipe:
+                    break
+        assert not eng.frame_embeds_queue, "frames stuck: no progress"
+    assert a._host_offset == b._host_offset
+
+
 def test_speculative_with_stream_window_compaction():
     """Speculative pipeline + infinite-stream compaction: the windowed
     speculative engine must match the windowed blocking engine through a

@@ -280,7 +280,10 @@ def mlp_int4(x, layer_params, *, block_f: int = 256, interpret: bool = False):
 MAX_FUSED_TOKENS = 128
 
 
-ENABLED = os.environ.get("VLO_FUSED_MLP", "1") != "0"
+def _enabled() -> bool:
+    # read per call (trace-time only, cost nil): a kill-switch snapshot at
+    # import time would silently ignore VLO_FUSED_MLP set mid-process
+    return os.environ.get("VLO_FUSED_MLP", "1") != "0"
 
 
 def maybe_fused(x, layer_params, layer_lora):
@@ -288,7 +291,7 @@ def maybe_fused(x, layer_params, layer_lora):
     weight-only quantized (int8 or int4), the MLP carries no LoRA, the
     token count is in the weight-bound regime, and we're on real TPU.
     Returns the MLP output or None (caller falls back to the XLA path)."""
-    if not ENABLED or jax.default_backend() != "tpu":
+    if not _enabled() or jax.default_backend() != "tpu":
         return None
     B, S, D = x.shape
     if B * S > MAX_FUSED_TOKENS:

@@ -65,6 +65,22 @@ def _frame_row(e) -> jax.Array:
     return e.materialize() if isinstance(e, _FrameRef) else e
 
 
+def _contiguous_ref_run(group) -> Optional[Tuple[jax.Array, int]]:
+    """(src, start) when ``group`` is a contiguous run of _FrameRefs into
+    one source chunk (the shared fast-path predicate for burst assembly —
+    engine and multistream must agree on it), else None."""
+    if not group:
+        return None
+    first = group[0]
+    if (isinstance(first, _FrameRef)
+            and all(isinstance(e, _FrameRef) and e.src is first.src
+                    and e.idx == first.idx + i
+                    for i, e in enumerate(group))
+            and first.idx + len(group) <= first.src.shape[0]):
+        return first.src, first.idx
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("k", "out_len"))
 def _slice_pad_frames(src, i0, k: int, out_len: int):
     seg = jax.lax.dynamic_slice(src, (i0, 0, 0), (k,) + src.shape[1:])
@@ -186,7 +202,8 @@ class LiveInferEngine:
         self._stream_prompt_ids = np.asarray(
             tok.encode("\n["), np.int32)  # after-EOS reopen (inference.py:65)
         self._gen_prompt_text = "]\nAssistant:"  # add_stream_generation_prompt
-        n_gen = len(tok.encode(self._gen_prompt_text))
+        self._gen_prompt_ids = list(tok.encode(self._gen_prompt_text))
+        n_gen = len(self._gen_prompt_ids)
         self._gen_prompt_bucket = next(
             (b for b in PROMPT_BUCKETS if b >= n_gen), n_gen)
 
@@ -778,6 +795,7 @@ class LiveInferEngine:
         # pipelined sustained mode: unresolved ingest_stream dispatches,
         # oldest first; each = {k, times, embeds, qae, query, packed, worst}
         self._pipe: collections.deque = collections.deque()
+        self._pipe_blocked = False
         # device-resident prepend chaining the next pipelined dispatch
         # (valid while _pipe is non-empty; host mirror takes over after)
         self._carry = None
@@ -859,18 +877,14 @@ class LiveInferEngine:
         writes land beyond the consumed offset (trimmed), so values are
         never observed."""
         k = len(group)
-        first = group[0] if k else None
-        if (isinstance(first, _FrameRef)
-                and all(isinstance(e, _FrameRef) and e.src is first.src
-                        and e.idx == first.idx + i
-                        for i, e in enumerate(group))
-                and first.idx + k <= first.src.shape[0]):
-            if first.idx == 0 and first.src.shape[0] == out_len:
+        run = _contiguous_ref_run(group)
+        if run is not None:
+            src, i0 = run
+            if i0 == 0 and src.shape[0] == out_len:
                 # whole-feed burst over a bucket-padded projector output:
                 # the stored chunk IS the operand — zero dispatches
-                return first.src
-            return _slice_pad_frames(first.src, first.idx, k=k,
-                                     out_len=out_len)
+                return src
+            return _slice_pad_frames(src, i0, k=k, out_len=out_len)
         rows = jnp.stack([_frame_row(e) for e in group])
         if out_len == k:
             return rows
@@ -1048,7 +1062,7 @@ class LiveInferEngine:
             query_at_end = qt is not None and burst_times[-1] >= qt
 
             # prompts for the fused response tail (device selects which)
-            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
+            gen_prompt = self._gen_prompt_ids
             if query_at_end:
                 query_prompt = self.tokenizer.apply_chat_template(
                     [{"role": "user", "content": self.query_queue[0][1]}],
@@ -1144,6 +1158,56 @@ class LiveInferEngine:
                 i += consumed
         return None, None
 
+    def _collect_burst(self) -> Optional[Dict[str, Any]]:
+        """Burst-assembly prologue shared by the multi-response and
+        pipelined drivers: frames up to the next query boundary, response
+        prompts + bucket, the burst bucket, and the dispatch's R_STREAM
+        worst-case token budget. Returns None when no frames precede the
+        next query (callers take the host respond path)."""
+        qt = self.query_queue[0][0] if self.query_queue else None
+        burst_times, burst_embeds = [], []
+        for t, e in self.frame_embeds_queue:
+            if qt is not None and t > qt:
+                break
+            burst_times.append(t)
+            burst_embeds.append(e)
+        if not burst_times:
+            return None
+        query_at_end = qt is not None and burst_times[-1] >= qt
+        gen_prompt = self._gen_prompt_ids
+        if query_at_end:
+            query_prompt = self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": self.query_queue[0][1]}],
+                tokenize=True, add_stream_query_prompt=True,
+                add_generation_prompt=True)
+        else:
+            query_prompt = gen_prompt
+        n_max = max(len(gen_prompt), len(query_prompt))
+        bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
+        n = len(burst_times)
+        fb = next((b for b in BURST_BUCKETS if b >= n), BURST_BUCKETS[-1])
+        group = burst_embeds[:fb]
+        k = len(group)
+        worst = (k * (TEXT_BUCKET + self.frame_num_tokens)
+                 + R_STREAM * (bucket + self.cfg.max_response_tokens))
+        return {"times": burst_times, "group": group, "k": k, "fb": fb,
+                "qae": query_at_end and k == n, "bucket": bucket,
+                "query_prompt": query_prompt, "gen_prompt": gen_prompt,
+                "worst": worst}
+
+    def _dispatch_stream(self, b: Dict[str, Any], first_text, first_n):
+        """One ingest_stream dispatch for a collected burst."""
+        jq = self._dev_prompt(b["query_prompt"], b["bucket"])
+        jg = self._dev_prompt(b["gen_prompt"], b["bucket"])
+        # CHUNK_FRAMES slack keeps the device loop's dynamic_slice
+        # in-bounds at every consumed offset
+        frames = self._frames_operand(b["group"], b["fb"] + CHUNK_FRAMES)
+        return self._ingest_stream(
+            self.params, self.cache, first_text, first_n, frames,
+            self._dev_i32(b["k"]), self._dev_thr(), jq,
+            self._dev_i32(len(b["query_prompt"])), jg,
+            self._dev_i32(len(b["gen_prompt"])), self._dev_bool(b["qae"]))
+
     def _call_stream(self) -> Tuple[Optional[str], Optional[str]]:
         """Multi-response streaming step: one ingest_stream dispatch covers
         a whole burst INCLUDING up to R_STREAM inline response turns; the
@@ -1152,68 +1216,28 @@ class LiveInferEngine:
         one-response-per-call contract."""
         if self._resp_out:
             return self._resp_out.popleft()
-        max_new = self.cfg.max_response_tokens
-        iv = self.cfg.frame_token_interval_id
         while self.frame_embeds_queue:
             if self.query_queue and \
                     self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
                 t, q = self.query_queue.popleft()
                 self._pending_prepend = []
                 return self._respond_at(t, q)
-            qt = self.query_queue[0][0] if self.query_queue else None
-            burst_times, burst_embeds = [], []
-            for t, e in self.frame_embeds_queue:
-                if qt is not None and t > qt:
-                    break
-                burst_times.append(t)
-                burst_embeds.append(e)
-            if not burst_times:
+            b = self._collect_burst()
+            if b is None:
                 t, q = self.query_queue.popleft()
                 self._pending_prepend = []
                 return self._respond_at(t, q)
-            query_at_end = qt is not None and burst_times[-1] >= qt
-
-            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
-            if query_at_end:
-                query_prompt = self.tokenizer.apply_chat_template(
-                    [{"role": "user", "content": self.query_queue[0][1]}],
-                    tokenize=True, add_stream_query_prompt=True,
-                    add_generation_prompt=True)
-            else:
-                query_prompt = gen_prompt
-            n_max = max(len(gen_prompt), len(query_prompt))
-            bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
-
-            n = len(burst_times)
-            fb = next((b for b in BURST_BUCKETS if b >= n), BURST_BUCKETS[-1])
-            group = burst_embeds[:fb]
-            k = len(group)
-            # capacity guard at the dispatch's true worst case (every one of
-            # the R_STREAM inline turns runs); a tight ring falls back to
-            # the per-response-guarded fused path rather than compacting
-            # more than the single-response engines would
-            worst = (self._host_offset
-                     + k * (TEXT_BUCKET + self.frame_num_tokens)
-                     + R_STREAM * (bucket + max_new))
-            worst = self._maybe_compact(worst)
-            if worst > self.kv_capacity:
+            if self._host_offset + b["worst"] > self.kv_capacity:
+                # tight ring: the per-response-guarded fused path (it
+                # compacts or fails loudly by its own single-turn rules
+                # rather than this dispatch's R_STREAM-inflated budget)
                 return self._call_fused()
 
             first_text, first_n, _ = self._take_prepend()
-            thr = self._dev_thr()
-            jq = self._dev_prompt(query_prompt, bucket)
-            jg = self._dev_prompt(gen_prompt, bucket)
-            jqn = self._dev_i32(len(query_prompt))
-            jgn = self._dev_i32(len(gen_prompt))
-            qae = self._dev_bool(query_at_end and k == n)
-            # CHUNK_FRAMES slack keeps the device loop's dynamic_slice
-            # in-bounds at every consumed offset
-            frames = self._frames_operand(group, fb + CHUNK_FRAMES)
-            self.cache, packed, _pt, _pn = self._ingest_stream(
-                self.params, self.cache, first_text, first_n, frames,
-                self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
+            self.cache, packed, _pt, _pn = self._dispatch_stream(
+                b, first_text, first_n)
             consumed = self._absorb_stream_packed(
-                np.asarray(packed), burst_times, query_src=None)
+                np.asarray(packed), b["times"], query_src=None)
             for _ in range(consumed):
                 self.frame_embeds_queue.popleft()
             if self._resp_out:
@@ -1272,81 +1296,45 @@ class LiveInferEngine:
         return self._host_offset + sum(e["worst"] for e in self._pipe)
 
     def _pipe_fill(self):
-        """Dispatch queued bursts up to pipeline depth 2. Dispatches chain
-        through the device-resident prepend (ingest_stream's pre_text/pre_n
-        outputs), so no host readback sits between them; queries at a burst
-        end are popped eagerly (the device WILL answer them — guaranteed
-        unless R_STREAM exhausts mid-burst, which resolution rolls back)."""
-        max_new = self.cfg.max_response_tokens
+        """Dispatch queued bursts up to the pipeline depth. Dispatches
+        chain through the device-resident prepend (ingest_stream's
+        pre_text/pre_n outputs), so no host readback sits between them;
+        queries at a burst end are popped eagerly (the device WILL answer
+        them — guaranteed unless R_STREAM exhausts mid-burst, which
+        resolution rolls back). Sets _pipe_blocked when the capacity guard
+        stops a dispatch — _call_pipe then resolves in-flight work (or
+        falls back to the blocking fused step) so progress is guaranteed."""
+        self._pipe_blocked = False
         while len(self._pipe) < self.pipeline_depth \
                 and self.frame_embeds_queue:
             if self.query_queue and \
                     self.frame_embeds_queue[0][0] > self.query_queue[0][0]:
                 break  # standalone query turn: host respond path, pipe empty
-            qt = self.query_queue[0][0] if self.query_queue else None
-            burst_times, burst_embeds = [], []
-            for t, e in self.frame_embeds_queue:
-                if qt is not None and t > qt:
-                    break
-                burst_times.append(t)
-                burst_embeds.append(e)
-            if not burst_times:
+            b = self._collect_burst()
+            if b is None:
                 break
-            query_at_end = qt is not None and burst_times[-1] >= qt
-
-            gen_prompt = self.tokenizer.encode(self._gen_prompt_text)
-            if query_at_end:
-                query_prompt = self.tokenizer.apply_chat_template(
-                    [{"role": "user", "content": self.query_queue[0][1]}],
-                    tokenize=True, add_stream_query_prompt=True,
-                    add_generation_prompt=True)
-            else:
-                query_prompt = gen_prompt
-            n_max = max(len(gen_prompt), len(query_prompt))
-            bucket = next((b for b in PROMPT_BUCKETS if b >= n_max), n_max)
-
-            n = len(burst_times)
-            fb = next((b for b in BURST_BUCKETS if b >= n), BURST_BUCKETS[-1])
-            group = burst_embeds[:fb]
-            k = len(group)
-            worst = (k * (TEXT_BUCKET + self.frame_num_tokens)
-                     + R_STREAM * (bucket + max_new))
-            if self._pipe_worst() + worst > self.kv_capacity:
-                if self._pipe:
-                    break  # resolve in-flight first, then compact/raise
-                w = self._maybe_compact(self._host_offset + worst)
-                if w > self.kv_capacity:
-                    raise RuntimeError(
-                        f"KV ring capacity {self.kv_capacity} would be "
-                        f"exceeded (offset {self._host_offset}); raise "
-                        f"kv_capacity, set stream_window, or reset()")
-
-            qae_flag = query_at_end and k == n
-            entry_query = self.query_queue.popleft() if qae_flag else None
+            if self._pipe_worst() + b["worst"] > self.kv_capacity:
+                self._pipe_blocked = True
+                break
+            entry_query = (self.query_queue.popleft() if b["qae"] else None)
             if self._pipe and self._carry is not None:
                 first_text, first_n = self._carry
             else:
                 first_text, first_n, _ = self._take_prepend()
-            thr = self._dev_thr()
-            jq = self._dev_prompt(query_prompt, bucket)
-            jg = self._dev_prompt(gen_prompt, bucket)
-            frames = self._frames_operand(group, fb + CHUNK_FRAMES)
-            self.cache, packed, pre_text, pre_n = self._ingest_stream(
-                self.params, self.cache, first_text, first_n, frames,
-                self._dev_i32(k), thr, jq, self._dev_i32(len(query_prompt)),
-                jg, self._dev_i32(len(gen_prompt)),
-                self._dev_bool(qae_flag))
+            self.cache, packed, pre_text, pre_n = self._dispatch_stream(
+                b, first_text, first_n)
             try:
                 packed.copy_to_host_async()  # overlap transfer with compute
             except Exception:
                 pass
-            for _ in range(k):
+            for _ in range(b["k"]):
                 self.frame_embeds_queue.popleft()
             self._carry = (pre_text, pre_n)
             self._pipe.append({
-                "k": k, "times": burst_times[:k], "embeds": group,
-                "qae": qae_flag, "query": entry_query, "packed": packed,
-                "worst": worst})
+                "k": b["k"], "times": b["times"][:b["k"]],
+                "embeds": b["group"], "qae": b["qae"],
+                "query": entry_query, "packed": packed,
+                "worst": b["worst"]})
 
     def _pipe_resolve(self):
         """Read the oldest in-flight dispatch's packed result. The only
@@ -1396,10 +1384,15 @@ class LiveInferEngine:
             return self._respond_at(t, q)
         if self._pipe and (force_resolve
                            or len(self._pipe) >= self.pipeline_depth
-                           or blocked_query):
+                           or blocked_query or self._pipe_blocked):
             self._pipe_resolve()
             if self._resp_out:
                 return self._resp_out.popleft()
+        if self._pipe_blocked and not self._pipe:
+            # ring too tight even with nothing in flight: one blocking
+            # fused step (its per-turn guard compacts or fails loudly) —
+            # guarantees forward progress instead of a silent livelock
+            return self._call_fused()
         return None, None
 
     def _finish_response(self, out_ids: np.ndarray, video_time, query
@@ -1576,7 +1569,7 @@ class LiveInferEngine:
                 [{"role": "user", "content": query}], tokenize=True,
                 add_stream_query_prompt=True, add_generation_prompt=True)
         else:
-            prompt = self.tokenizer.encode(self._gen_prompt_text)
+            prompt = self._gen_prompt_ids
         self._started = True  # any cache write counts (ref checks emptiness)
         n = len(prompt)
         bucket = next((b for b in PROMPT_BUCKETS if b >= n), n)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..core.config import LiveConfig
 from ..models import llama, live
 from ..tokenizer.live_tokenizer import LiveTokenizer
-from .engine import _FrameRef, _frame_row
+from .engine import _FrameRef, _contiguous_ref_run, _frame_row
 
 TEXT_BUCKET = 4
 PROMPT_BUCKET = 128
@@ -40,17 +40,16 @@ CHUNK_FRAMES = 8
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _gather_k(srcs, starts, K: int):
-    """(N, T, fnt, D) sources + per-stream starts -> (N, K, fnt, D) f32.
-    Zero-pads each source by K rows first so the slice never clamps
-    (a clamped dynamic_slice would silently misalign the burst)."""
-    pad = jnp.zeros((srcs.shape[0], K) + srcs.shape[2:], srcs.dtype)
-    padded = jnp.concatenate([srcs, pad], axis=1)
-
+    """(N, T+K, fnt, D) K-zero-padded sources (input_frames pads once at
+    enqueue — re-padding the whole source set here would copy ~T/K times
+    the bytes actually gathered) + per-stream starts -> (N, K, fnt, D)
+    f32. The pad guarantees the slice never clamps for starts <= T (a
+    clamped dynamic_slice would silently misalign the burst)."""
     def one(src, i0):
         return jax.lax.dynamic_slice(
             src, (i0, 0, 0), (K,) + src.shape[1:])
 
-    return jax.vmap(one)(padded, starts).astype(jnp.float32)
+    return jax.vmap(one)(srcs, starts).astype(jnp.float32)
 
 
 class MultiStreamEngine:
@@ -276,6 +275,16 @@ class MultiStreamEngine:
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
 
+        K = self.chunk_frames
+
+        def project_padded(p, feats):
+            flat = live.visual_embed(p, feats, cfg)
+            flat = flat.reshape(-1, self.fnt, self.hidden)
+            pad = jnp.zeros((K,) + flat.shape[1:], flat.dtype)
+            return jnp.concatenate([flat, pad], axis=0)
+
+        self._project_padded = jax.jit(project_padded)
+
     # ---------------------------------------------------------------- state
     def reset(self):
         self.cache = llama.init_kv_cache(
@@ -297,12 +306,15 @@ class MultiStreamEngine:
         feats = jnp.asarray(features)
         if feats.ndim == 2:
             feats = feats[:, None, :]
-        embeds = self._project(self.params, feats).reshape(
-            -1, self.fnt, self.hidden)
+        # project AND zero-pad by chunk_frames rows in ONE dispatch: the
+        # per-tick gather slices [i0, i0+K) of each source without
+        # re-padding (engine.project_padded pattern)
+        embeds = self._project_padded(self.params, feats)
+        T = embeds.shape[0] - self.chunk_frames
         # lazy refs (engine._FrameRef): enqueueing dispatches nothing, and
         # a whole-chunk burst assembles into the (N, K, fnt, D) operand
-        # with ONE stack op in step() instead of N*K slices + stacks
-        for i in range(embeds.shape[0]):
+        # with ONE stack + ONE vmapped slice in step()
+        for i in range(T):
             self.frame_queues[stream].append(
                 (video_time + i / self.frame_fps, _FrameRef(embeds, i)))
 
@@ -324,21 +336,18 @@ class MultiStreamEngine:
                 srcs.append(None)
                 starts.append(0)
                 continue
-            group = [e for _, e in bursts[i]]
-            first = group[0]
-            if not (isinstance(first, _FrameRef)
-                    and all(isinstance(e, _FrameRef) and e.src is first.src
-                            and e.idx == first.idx + j
-                            for j, e in enumerate(group))):
+            run = _contiguous_ref_run([e for _, e in bursts[i]])
+            if run is None:
                 fast = False
                 break
+            src, i0 = run
             if shape is None:
-                shape = first.src.shape
-            elif first.src.shape != shape:
+                shape = src.shape
+            elif src.shape != shape:
                 fast = False
                 break
-            srcs.append(first.src)
-            starts.append(first.idx)
+            srcs.append(src)
+            starts.append(i0)
         if fast and shape is not None:
             dt = next(s.dtype for s in srcs if s is not None)
             zero_chunk = jnp.zeros(shape, dt)
