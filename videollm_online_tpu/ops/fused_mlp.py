@@ -182,7 +182,7 @@ def _kernel_int4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
 def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
-                   block_f: int = 256, interpret: bool = False):
+                   block_f: int = 512, interpret: bool = False):
     """SwiGLU MLP over nibble-packed int4 weights: x (B, D) -> (B, D).
 
     wg_p/wu_p: (D/2, F) packed int8 (models/quant.quantize_weight_int4:
@@ -264,7 +264,7 @@ def mlp_int8(x, layer_params, *, block_f: int = 512, interpret: bool = False):
     return y.reshape(B, S, D)
 
 
-def mlp_int4(x, layer_params, *, block_f: int = 256, interpret: bool = False):
+def mlp_int4(x, layer_params, *, block_f: int = 512, interpret: bool = False):
     """(B, S, D) wrapper over the int4 fused kernel (same contract)."""
     B, S, D = x.shape
     wg, wu, wd = (layer_params["w_gate"], layer_params["w_up"],
@@ -313,7 +313,7 @@ def maybe_fused(x, layer_params, layer_lora):
     if all("q4p" in m for m in mats):
         F = wg["q4p"].shape[1]
         gd, gf = wg["scale"].shape[0], wd["scale"].shape[0]
-        if gd % 2 or gf % 2 or (F // 2) % 256 or (256 % (F // gf)):
+        if gd % 2 or gf % 2 or (F // 2) % 512 or (512 % (F // gf)):
             return None
         return mlp_int4(x, layer_params)
     return None
