@@ -99,7 +99,8 @@ def build_engine(args):
 
     return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
                            kv_capacity=args.kv_capacity,
-                           speculative=getattr(args, "speculative", False)), cfg
+                           speculative=getattr(args, "speculative", False),
+                           pipelined=getattr(args, "pipelined", False)), cfg
 
 
 def main(argv=None):
@@ -129,6 +130,11 @@ def main(argv=None):
                    help="pipelined per-frame ingest: dispatch the next frame "
                         "before reading the previous gate (rolls back on "
                         "fire); hides readback RTT on tunneled TPUs")
+    p.add_argument("--pipelined", action="store_true",
+                   help="sustained-mode dispatch pipelining: the next burst "
+                        "dispatches before the previous packed readback, "
+                        "chained through the device-resident prepend (the "
+                        "throughput serving mode; docs/SERVING.md)")
     args = p.parse_args(argv)
 
     engine, cfg = build_engine(args)
