@@ -118,3 +118,43 @@ def test_beam_generate_padding(setup):
                         max_new_tokens=6, num_return_sequences=3)
     assert out.shape[0] == 3
     assert (out == -100).sum() >= 0
+
+
+def test_beam_generate_no_recompile_across_samples(setup):
+    """VERDICT r2: LiveTrainer.evaluate calls beam_generate once per LTA
+    sample; a fresh per-sample jit cache meant a 5-10 min remote compile per
+    sample on the chip. The jits now live at module scope: the second sample
+    (same shape bucket) must trigger zero new compilations."""
+    from videollm_online_tpu.eval import generation as gen
+
+    cfg, tok, params, _ = setup
+    rng = np.random.RandomState(7)
+    p1 = rng.randint(0, cfg.llama.vocab_size, (1, 9))
+    p2 = rng.randint(0, cfg.llama.vocab_size, (1, 9))
+    beam_generate(params, cfg, p1, None, num_beams=3, max_new_tokens=6)
+    n_prefill = gen._beam_prefill._cache_size()
+    n_step = gen._beam_step._cache_size()
+    assert n_prefill >= 1 and n_step >= 1
+    beam_generate(params, cfg, p2, None, num_beams=3, max_new_tokens=6)
+    assert gen._beam_prefill._cache_size() == n_prefill
+    assert gen._beam_step._cache_size() == n_step
+
+
+def test_beam_capacity_bucketing_shares_cache(setup):
+    """Prompts whose (T + max_new + 8) differ but land in the same 128-wide
+    capacity bucket must reuse the same prefill/step executables when T is
+    equal (the trainer pads T to pad_to_multiple)."""
+    from videollm_online_tpu.eval.generation import BeamSearcher, _round_up
+    assert _round_up(5, 128) == 128
+    assert _round_up(128, 128) == 128
+    assert _round_up(129, 128) == 256
+    cfg, tok, params, _ = setup
+    s = BeamSearcher(params, cfg, num_beams=2)
+    # different max_new_tokens, same bucket -> same cache capacity
+    rng = np.random.RandomState(1)
+    p = rng.randint(0, cfg.llama.vocab_size, (1, 9))
+    from videollm_online_tpu.eval import generation as gen
+    s.search(p, None, max_new_tokens=6)
+    n = gen._beam_step._cache_size()
+    s.search(p, None, max_new_tokens=10)
+    assert gen._beam_step._cache_size() == n

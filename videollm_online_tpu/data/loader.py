@@ -52,21 +52,53 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[j] for j in chunk])
             self.epoch += 1
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        SENTINEL = object()
+        # N-worker pool with ordered output (the reference uses 16 torch
+        # DataLoader processes, scripts/ego4d/live1+.sh; here __getitem__ is
+        # numpy mmap slicing + string rendering, so threads overlap I/O and
+        # release-the-GIL numpy work). Batches are yielded strictly in index
+        # order so worker count never changes training data order.
+        work: "queue.Queue" = queue.Queue()
+        done: dict = {}
+        done_lock = threading.Lock()
+        done_cv = threading.Condition(done_lock)
+        n_batches = 0
+        for seq, chunk in enumerate(self._index_batches()):
+            work.put((seq, chunk))
+            n_batches += 1
+        n_workers = max(1, self.num_workers)
+        # bound in-flight results so fast workers don't buffer the epoch
+        window = max(self.prefetch, n_workers)
+        next_out = [0]
 
-        def producer():
-            try:
-                for chunk in self._index_batches():
-                    q.put(self.collate_fn([self.dataset[j] for j in chunk]))
-            finally:
-                q.put(SENTINEL)
+        def worker():
+            while True:
+                try:
+                    seq, chunk = work.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self.collate_fn([self.dataset[j] for j in chunk])
+                    err = None
+                except BaseException as e:  # surface on the consumer side
+                    batch, err = None, e
+                with done_cv:
+                    while seq - next_out[0] >= window and err is None:
+                        done_cv.wait(timeout=0.1)
+                    done[seq] = (batch, err)
+                    done_cv.notify_all()
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        for seq in range(n_batches):
+            with done_cv:
+                while seq not in done:
+                    done_cv.wait(timeout=0.1)
+                batch, err = done.pop(seq)
+                next_out[0] = seq + 1
+                done_cv.notify_all()
+            if err is not None:
+                raise err
+            yield batch
         self.epoch += 1

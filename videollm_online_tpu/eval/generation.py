@@ -50,7 +50,8 @@ def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
     ``num_valid`` < T marks right-padding (bucketed eval batches) — pads are
     appended but never advance the ring nor feed the gate."""
     T = input_ids.shape[1]
-    capacity = capacity or (T + max_new_tokens + 8)
+    capacity = capacity or _round_up(T + max_new_tokens + 8,
+                                     BeamSearcher.CAPACITY_BUCKET)
     cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
                                 dtype=jnp.dtype(cfg.llama.dtype))
     from ..ops.auto import auto_attention
@@ -62,38 +63,61 @@ def greedy_from_embeds(params, cfg: LiveConfig, input_ids: np.ndarray,
     return np.asarray(out)[:, :int(length[0])]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "scaling"),
+                   donate_argnames=("cache",))
+def _beam_prefill(params, cfg, scaling, embeds, num_valid, cache):
+    logits, cache = llama.forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        kv_cache=cache, num_valid=num_valid,
+        lora=params.get("lora"), lora_scaling=scaling,
+        logit_gather_positions=num_valid - 1)
+    return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32)), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scaling"),
+                   donate_argnames=("cache",))
+def _beam_step(params, cfg, scaling, tokens, cache, parents):
+    # reorder the ring along the beam axis, then append one token
+    cache = llama.KVCache(k=cache.k[:, parents], v=cache.v[:, parents],
+                          offset=cache.offset[parents],
+                          pos_base=cache.pos_base[parents])
+    embeds = llama.embed_tokens(params["llama"], tokens[:, None], cfg.llama)
+    logits, cache = llama.forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        kv_cache=cache, lora=params.get("lora"), lora_scaling=scaling)
+    return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32)), cache
+
+
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
 class BeamSearcher:
+    """The jitted prefill/step live at MODULE scope (static over cfg) and the
+    KV capacity is bucketed — constructing a fresh BeamSearcher per sample
+    (as LiveTrainer.evaluate does) triggers zero new compilations once the
+    (T-bucket, capacity-bucket) pair has been seen. On the real chip a
+    remote compile is 5-10 min, so per-sample recompiles made LTA eval
+    unusable."""
+
+    CAPACITY_BUCKET = 128
+
     def __init__(self, params, cfg: LiveConfig, num_beams: int = 5):
         self.params = params
         self.cfg = cfg
         self.K = num_beams
         lora = params.get("lora")
-        scaling = (cfg.lora.scaling if (cfg.lora is not None and lora is not None)
-                   else 1.0)
+        self.scaling = (cfg.lora.scaling
+                        if (cfg.lora is not None and lora is not None)
+                        else 1.0)
 
-        def prefill(params, embeds, num_valid, cache):
-            logits, cache = llama.forward(
-                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
-                kv_cache=cache, num_valid=num_valid,
-                lora=params.get("lora"), lora_scaling=scaling,
-                logit_gather_positions=num_valid - 1)
-            return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32)), cache
+    def _prefill(self, params, embeds, num_valid, cache):
+        return _beam_prefill(params, self.cfg, self.scaling, embeds,
+                             num_valid, cache)
 
-        def step(params, tokens, cache, parents):
-            # reorder the ring along the beam axis, then append one token
-            cache = llama.KVCache(k=cache.k[:, parents], v=cache.v[:, parents],
-                                  offset=cache.offset[parents],
-                                  pos_base=cache.pos_base[parents])
-            embeds = llama.embed_tokens(params["llama"], tokens[:, None],
-                                        cfg.llama)
-            logits, cache = llama.forward(
-                params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
-                kv_cache=cache, lora=params.get("lora"),
-                lora_scaling=scaling)
-            return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32)), cache
-
-        self._prefill = jax.jit(prefill, donate_argnums=(3,))
-        self._step = jax.jit(step, donate_argnums=(2,))
+    def _step(self, params, tokens, cache, parents):
+        return _beam_step(params, self.cfg, self.scaling, tokens, cache,
+                          parents)
 
     def search(self, input_ids: np.ndarray, frames: Optional[np.ndarray], *,
                max_new_tokens: int = 512, num_return_sequences: int = None,
@@ -105,7 +129,7 @@ class BeamSearcher:
         n_ret = num_return_sequences or K
         eos = cfg.eos_token_id
         T = input_ids.shape[1]
-        capacity = T + max_new_tokens + 8
+        capacity = _round_up(T + max_new_tokens + 8, self.CAPACITY_BUCKET)
 
         cache = llama.init_kv_cache(cfg.llama, batch=K, capacity=capacity,
                                     dtype=jnp.dtype(cfg.llama.dtype))

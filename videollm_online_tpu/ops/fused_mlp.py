@@ -61,13 +61,14 @@ def _kernel(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
 def fused_mlp_int8(x, wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, *,
-                   block_f: int = 512, interpret: bool = False):
+                   block_f: int = None, interpret: bool = False):
     """SwiGLU MLP over int8 weights: x (B, D) bf16 -> (B, D) bf16.
 
     wg_q/wu_q: (D, F) int8, scales (F,) f32; wd_q: (F, D) int8, scale (D,)
     f32 (models/quant.quantize_weight layout)."""
     B, D = x.shape
     F = wg_q.shape[1]
+    block_f = BLOCK_F if block_f is None else block_f
     fb = min(block_f, F)
     assert F % fb == 0, (F, fb)
     grid = (F // fb,)
@@ -182,7 +183,7 @@ def _kernel_int4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
 def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
-                   block_f: int = 512, interpret: bool = False):
+                   block_f: int = None, interpret: bool = False):
     """SwiGLU MLP over nibble-packed int4 weights: x (B, D) -> (B, D).
 
     wg_p/wu_p: (D/2, F) packed int8 (models/quant.quantize_weight_int4:
@@ -197,6 +198,7 @@ def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
     B, D = x.shape
     F = wg_p.shape[1]
     half = F // 2
+    block_f = BLOCK_F if block_f is None else block_f
     fb = min(block_f, half)
     assert half % fb == 0, (F, fb)
     gd = wg_s.shape[0]                  # D-groups (even: lo/hi halves split)
@@ -250,7 +252,7 @@ def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
     return out.astype(x.dtype)
 
 
-def mlp_int8(x, layer_params, *, block_f: int = 512, interpret: bool = False):
+def mlp_int8(x, layer_params, *, block_f: int = None, interpret: bool = False):
     """(B, S, D) wrapper over the fused kernel for models/llama._layer.
 
     Only valid for int8-quantized layers without LoRA on the MLP; callers
@@ -264,7 +266,7 @@ def mlp_int8(x, layer_params, *, block_f: int = 512, interpret: bool = False):
     return y.reshape(B, S, D)
 
 
-def mlp_int4(x, layer_params, *, block_f: int = 512, interpret: bool = False):
+def mlp_int4(x, layer_params, *, block_f: int = None, interpret: bool = False):
     """(B, S, D) wrapper over the int4 fused kernel (same contract)."""
     B, S, D = x.shape
     wg, wu, wd = (layer_params["w_gate"], layer_params["w_up"],
@@ -278,6 +280,11 @@ def mlp_int4(x, layer_params, *, block_f: int = 512, interpret: bool = False):
 # serving-shape bound: decode is S=1, chunked ingest S<=~16, batched
 # multistream B*S<=~128; prefill buckets (256+) are MXU-bound and XLA wins
 MAX_FUSED_TOKENS = 128
+
+# Default packed-F block for the int8/int4 kernels. The maybe_fused dispatch
+# guard derives its divisibility checks from this SAME constant, so changing
+# the kernel default can never desync the guard from the kernel's asserts.
+BLOCK_F = 512
 
 
 def _enabled() -> bool:
@@ -313,7 +320,7 @@ def maybe_fused(x, layer_params, layer_lora):
     if all("q4p" in m for m in mats):
         F = wg["q4p"].shape[1]
         gd, gf = wg["scale"].shape[0], wd["scale"].shape[0]
-        if gd % 2 or gf % 2 or (F // 2) % 512 or (512 % (F // gf)):
+        if gd % 2 or gf % 2 or (F // 2) % BLOCK_F or (BLOCK_F % (F // gf)):
             return None
         return mlp_int4(x, layer_params)
     return None

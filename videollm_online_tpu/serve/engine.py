@@ -214,10 +214,26 @@ class LiveInferEngine:
         # across cycles; uploading them once turns ~8 transfers per
         # response cycle into zero.
         self._dev_cache: Dict[Any, jax.Array] = {}
+        # user-content keys (query prompts, pasted text) are unbounded over
+        # a long-lived session — those live in a capped LRU so HBM/host
+        # memory can't grow without limit; static scalars stay permanent
+        self._dev_lru: "collections.OrderedDict[Any, jax.Array]" = (
+            collections.OrderedDict())
+        self._dev_lru_cap = 256
         self._build_jitted()
         self.reset()
 
-    def _dev(self, key, build):
+    def _dev(self, key, build, lru: bool = False):
+        if lru:
+            hit = self._dev_lru.get(key)
+            if hit is not None:
+                self._dev_lru.move_to_end(key)
+                return hit
+            hit = jax.device_put(build())
+            self._dev_lru[key] = hit
+            while len(self._dev_lru) > self._dev_lru_cap:
+                self._dev_lru.popitem(last=False)
+            return hit
         hit = self._dev_cache.get(key)
         if hit is None:
             hit = jax.device_put(build())
@@ -242,7 +258,7 @@ class LiveInferEngine:
             if len(ids):
                 buf[0, bucket - len(ids):] = ids
             return buf
-        return self._dev(key, build)
+        return self._dev(key, build, lru=True)
 
     def _dev_text(self, ids) -> jax.Array:
         """(TEXT_BUCKET,) right-aligned prepend ids, cached."""
@@ -252,7 +268,7 @@ class LiveInferEngine:
             if len(ids):
                 buf[-len(ids):] = ids
             return buf
-        return self._dev(key, build)
+        return self._dev(key, build, lru=True)
 
     # ------------------------------------------------------------------ jit
     def _build_jitted(self):
@@ -754,7 +770,10 @@ class LiveInferEngine:
                                                     self.encoder_device)
                 self._enc_connector = jax.device_put(
                     self.params["connector"], self.encoder_device)
-                enc = jax.jit(encode_frames, device=self.encoder_device)
+                # placement follows the committed inputs (vision params,
+                # connector and pixels are device_put onto encoder_device
+                # above/below) — the jit(device=...) kwarg is deprecated
+                enc = jax.jit(encode_frames)
                 decoder_dev = jax.devices()[0]
 
                 def encode_then_move(vp, _params, pixels):

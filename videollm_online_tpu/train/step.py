@@ -120,6 +120,7 @@ def shard_batch(batch, mesh, accum_axis: bool = False):
     from ..parallel.mesh import DATA_AXIS
 
     spec = P(None, DATA_AXIS) if accum_axis else P(DATA_AXIS)
+    data_size = mesh.shape[DATA_AXIS]
     out = {}
     for k, v in batch.items():
         if v is None:
@@ -130,5 +131,12 @@ def shard_batch(batch, mesh, accum_axis: bool = False):
             # joint_embed gather then stays shard-local on the text side).
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
         else:
-            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            batch_dim = v.shape[1] if accum_axis else v.shape[0]
+            if batch_dim % data_size:
+                # batch smaller than / indivisible by the data axis (e.g.
+                # batch 1 on a data=4 mesh): replicate rather than fail —
+                # GSPMD still shards the sequence-level compute
+                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+            else:
+                out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out

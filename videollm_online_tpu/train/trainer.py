@@ -23,7 +23,7 @@ from ..core.config import LiveConfig
 from ..data.loader import DataLoader
 from ..eval.generation import beam_generate, greedy_from_embeds
 from ..eval.stream_evaluate import StreamEvaluator
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_mesh, maybe_mesh
 from ..utils.logging import MetricLogger
 from . import checkpoints, optim, step as step_mod
 
@@ -107,7 +107,7 @@ class LiveTrainer:
             self.train_dataset,
             batch_size=args.per_device_train_batch_size,
             collate_fn=self.collate_fn, shuffle=True, seed=args.seed,
-            num_workers=min(args.dataloader_num_workers, 1),
+            num_workers=args.dataloader_num_workers,
             process_index=jax.process_index(),
             process_count=jax.process_count())
         accum = args.gradient_accumulation_steps
@@ -121,12 +121,21 @@ class LiveTrainer:
                     continue
                 stacked = self._microbatch_stack(micro)
                 micro = []
-                jbatch = {k: jnp.asarray(v) for k, v in stacked.items()
-                          if v is not None}
                 if accum == 1:
-                    jbatch = {k: v[0] for k, v in jbatch.items()}
-                self.state, metrics = self._step(self.state, self.frozen,
-                                                 jbatch)
+                    stacked = {k: v[0] for k, v in stacked.items()
+                               if v is not None}
+                if self.mesh is not None:
+                    # put the batch on the mesh so the data axis actually
+                    # splits work (GSPMD propagates from argument shardings)
+                    jbatch = step_mod.shard_batch(
+                        {k: v for k, v in stacked.items() if v is not None},
+                        self.mesh, accum_axis=accum > 1)
+                else:
+                    jbatch = {k: jnp.asarray(v) for k, v in stacked.items()
+                              if v is not None}
+                with maybe_mesh(self.mesh):
+                    self.state, metrics = self._step(self.state, self.frozen,
+                                                     jbatch)
                 step = int(metrics["step"]) + 1
                 if step % args.logging_steps == 0:
                     self.logger.log(step, {
@@ -158,9 +167,22 @@ class LiveTrainer:
         return optim.merge_params(self.state.trainable, self.frozen)
 
     # ------------------------------------------------------------ evaluation
-    def evaluate(self, dataset_name: Optional[str] = None) -> Dict[str, dict]:
+    def evaluate(self, dataset_name: Optional[str] = None, *,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None) -> Dict[str, dict]:
         """Run each eval dataset through its evaluator and compute metrics
-        (reference trainer_with_gen2eval.py + train.py:27-36)."""
+        (reference trainer_with_gen2eval.py + train.py:27-36).
+
+        Multi-process: samples are striped ``process_index::process_count``
+        and predictions gathered across processes before ``compute_metrics``
+        — the HF eval-loop gather the reference relies on
+        (engine/trainer_with_gen2eval.py:20-21). The kwargs exist so tests
+        can exercise the striding without multiple processes."""
+        import jax
+        if process_index is None:
+            process_index = jax.process_index()
+        if process_count is None:
+            process_count = jax.process_count()
         results = {}
         names = ([dataset_name] if dataset_name
                  else list(self.eval_dataset_dict))
@@ -169,7 +191,7 @@ class LiveTrainer:
             ds = self.eval_dataset_dict[name]
             predictions, sample_idxs = [], []
             stream_eval = None
-            for i in range(len(ds)):
+            for i in range(process_index, len(ds), process_count):
                 text, frames, learn_ranges, idx, ekw = ds[i]
                 from ..data.collator import collate
                 # bucket sequence lengths so XLA compiles per bucket, not per
@@ -207,11 +229,29 @@ class LiveTrainer:
                 sample_idxs.append(idx)
             # pad rows to a rectangle like the HF gather does
             L = max((len(p) for p in predictions), default=1)
+            if jax.process_count() > 1 and process_count == jax.process_count():
+                # agree on a global width, then gather rows + idxs over DCN
+                from jax.experimental import multihost_utils as mhu
+                L = int(np.max(mhu.process_allgather(np.asarray([L]))))
             rect = np.full((len(predictions), L), -100.0
                            if predictions and predictions[0].dtype.kind == "f"
                            else -100)
             for i, p in enumerate(predictions):
                 rect[i, :len(p)] = p
+            if jax.process_count() > 1 and process_count == jax.process_count():
+                from jax.experimental import multihost_utils as mhu
+                # ragged per-process counts: pad to the max count, gather,
+                # then drop the padding rows via a validity mask
+                counts = mhu.process_allgather(np.asarray([len(predictions)]))
+                cmax = int(np.max(counts))
+                rect_p = np.full((cmax, L), -100, rect.dtype)
+                rect_p[:len(predictions)] = rect
+                idx_p = np.full((cmax,), -1, np.int64)
+                idx_p[:len(sample_idxs)] = np.asarray(sample_idxs, np.int64)
+                all_rect = mhu.process_allgather(rect_p).reshape(-1, L)
+                all_idx = mhu.process_allgather(idx_p).reshape(-1)
+                keep = all_idx >= 0
+                rect, sample_idxs = all_rect[keep], list(all_idx[keep])
             fn = self.compute_metrics_dict.get(name)
             if fn is None and hasattr(ds, "compute_metrics"):
                 fn = lambda preds, idxs: ds.compute_metrics(
