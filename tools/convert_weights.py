@@ -23,7 +23,8 @@ def main():
     p.add_argument("--dst", required=True, help="output Orbax dir")
     p.add_argument("--family", default="llama",
                    choices=["llama", "mistral", "siglip"])
-    p.add_argument("--size", default="8b", choices=["8b", "7b", "tiny"])
+    p.add_argument("--size", default="8b",
+                   choices=["8b", "7b", "1b", "tiny"])
     p.add_argument("--int8", action="store_true",
                    help="store the decoder weight-only int8 (serving)")
     p.add_argument("--int4", action="store_true",
@@ -40,8 +41,13 @@ def main():
     if args.family == "siglip":
         params = convert.siglip_params_from_state_dict(sd, VisionConfig())
     else:
-        cfg = (mistral_7b_config() if args.family == "mistral"
-               else LlamaConfig())
+        if args.family == "mistral":
+            cfg = mistral_7b_config()
+        else:
+            # the size presets match the serve CLI / builder proxies, so a
+            # converted tiny checkpoint serves with --model_size tiny
+            from videollm_online_tpu.models.builder import PROXY_SIZES
+            cfg = LlamaConfig(**PROXY_SIZES[args.size])
         params = convert.llama_params_from_state_dict(sd, cfg)
         if args.int4:
             params = quant.quantize_llama_params(params, bits=4)

@@ -26,15 +26,19 @@ def _save_shard(tensors, path):
     return os.path.getsize(path)
 
 
-def make_llama(out_dir: str, seed: int = 0, scale: float = 0.02):
+def make_llama(out_dir: str, seed: int = 0, scale: float = 0.02,
+               size: str = "8b"):
     """HF LlamaForCausalLM state-dict layout, bf16, sharded like the hub
-    checkpoint (~4 shards). Matches models/convert.llama_params_from_state_dict
-    key expectations."""
+    checkpoint (~4 shards for 8b). Matches
+    models/convert.llama_params_from_state_dict key expectations.
+    ``size='tiny'`` emits the same layout at test scale (the artifact-
+    contract dry test chains it through convert_weights -> serve)."""
     import torch
 
     from videollm_online_tpu.core.config import LlamaConfig
+    from videollm_online_tpu.models.builder import PROXY_SIZES
 
-    cfg = LlamaConfig()
+    cfg = LlamaConfig(**PROXY_SIZES[size])
     g = torch.Generator().manual_seed(seed)
 
     def t(*shape):
@@ -89,7 +93,7 @@ def make_llama(out_dir: str, seed: int = 0, scale: float = 0.02):
         json.dump({"metadata": {}, "weight_map": weight_map}, f)
     n = sum(os.path.getsize(os.path.join(out_dir, f))
             for f in os.listdir(out_dir)) / 2**30
-    print(f"synthetic llama-3-8B checkpoint at {out_dir} ({n:.1f} GiB)")
+    print(f"synthetic llama ({size}) checkpoint at {out_dir} ({n:.1f} GiB)")
 
 
 def make_siglip(out_dir: str, seed: int = 0, scale: float = 0.02):
@@ -161,6 +165,10 @@ if __name__ == "__main__":
     p.add_argument("--family", default="llama", choices=["llama", "siglip"])
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", default="8b", choices=["8b", "tiny"],
+                   help="llama only: full production shapes or test scale")
     args = p.parse_args()
-    (make_llama if args.family == "llama" else make_siglip)(args.out,
-                                                            args.seed)
+    if args.family == "llama":
+        make_llama(args.out, args.seed, size=args.size)
+    else:
+        make_siglip(args.out, args.seed)
