@@ -46,6 +46,11 @@ MODEL_SIZES = {
 
 def main():
     import jax
+    # BENCH_PLATFORM=cpu: local smoke runs — the container's sitecustomize
+    # pins JAX_PLATFORMS=axon, so the env var alone cannot deselect the TPU
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     # persistent compile cache: repeated driver runs skip the (slow, remote)
     # TPU compile entirely
     jax.config.update("jax_compilation_cache_dir",
@@ -67,6 +72,12 @@ def main():
 
     llama_cfg = LlamaConfig(**MODEL_SIZES[size], dtype="bfloat16")
     cfg = LiveConfig(llama=llama_cfg, lora=None)
+    if os.environ.get("BENCH_INPUT") == "pixels" and size == "tiny":
+        # tiny is the CPU plumbing-smoke config; SigLIP-large at 384px is
+        # not runnable on CPU in bench time, so swap in the tiny ViT
+        from videollm_online_tpu.core.config import tiny_vision_config
+        tv = tiny_vision_config()
+        cfg = cfg.replace(vision=tv, vision_hidden_size=tv.hidden_size)
     tok = LiveTokenizer(ByteTokenizer(), cfg)
     cfg = tok.cfg
 
@@ -143,13 +154,29 @@ def main():
 
         vision_hidden = cfg.vision_hidden_size
         rng = np.random.RandomState(0)
-        feats = rng.randn(n_frames, cfg.frame_num_tokens,
-                          vision_hidden).astype(np.float32)
+        # BENCH_INPUT=pixels: BASELINE config #5 — raw uint8 frames through
+        # SigLIP -> connector -> gate -> responses ON THE SAME CHIP, the
+        # reference demo's measurement shape (demo/cli.py:31-48 keeps
+        # encoding inside the loop). Default 'features' matches the
+        # pre-extracted-feature serving profile.
+        input_kind = os.environ.get("BENCH_INPUT", "features")
+        vision_params = None
+        if input_kind == "pixels":
+            from videollm_online_tpu.models import siglip
+            vision_params = siglip.init_params(jax.random.PRNGKey(1),
+                                               cfg.vision)
+            media = rng.randint(
+                0, 255, (n_frames, 3, cfg.vision.image_size,
+                         cfg.vision.image_size)).astype(np.uint8)
+        else:
+            media = rng.randn(n_frames, cfg.frame_num_tokens,
+                              vision_hidden).astype(np.float32)
         capacity = max(capacity,
                        (4 + cfg.frame_num_tokens) * (n_frames + 8)
                        + (n_frames // max(query_every, 1) + 2)
                        * (256 + cfg.max_response_tokens) + 2048)
-        engine = LiveInferEngine(params, tok, cfg, kv_capacity=capacity)
+        engine = LiveInferEngine(params, tok, cfg, kv_capacity=capacity,
+                                 vision_params=vision_params)
 
         # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
         # catch-up/throughput profile: one host sync per chunked dispatch);
@@ -175,7 +202,7 @@ def main():
 
         def run(ticks):
             engine.reset()
-            engine.load_video(feats)
+            engine.load_video(media)
             responses = 0
             for i in range(ticks):
                 if i % query_every == 0:
@@ -201,7 +228,9 @@ def main():
         print(f"engine mode ({pacing}): {n_frames} frames, {responses} "
               f"responses, final kv offset {offset}, {dt:.2f}s",
               file=sys.stderr)
-        metric = f"streaming_engine_fps_{size}"
+        metric = (f"streaming_engine_pixels_fps_{size}"
+                  if input_kind == "pixels"
+                  else f"streaming_engine_fps_{size}")
     elif mode == "chunk":
         # sustained-load path: the serving engine batches queued frames into
         # 8-frame chunk steps (serve/engine.py ingest_chunk) — one weight

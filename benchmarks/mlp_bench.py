@@ -23,7 +23,8 @@ def main():
     p.add_argument("--block_f", type=int, default=512)
     p.add_argument("--block_f4", type=int, default=256)
     p.add_argument("--impl", default="both",
-                   choices=["both", "xla", "fused", "fused4", "all"])
+                   choices=["both", "xla", "fused", "fused4", "fused4c", "xla4c",
+                            "all"])
     args = p.parse_args()
 
     import jax
@@ -108,12 +109,66 @@ def main():
             return jnp.tanh(y), None
         return jax.lax.scan(body, x, (wg4, wu4, wd4))[0]
 
+    def q4crand(k, d_in, d_out):
+        from videollm_online_tpu.models.quant import INT4_GROUP
+        # any int8 byte decodes consistently under the column-packed scheme
+        q = jax.jit(lambda kk: jax.random.randint(
+            kk, (L, d_in, d_out // 2), -128, 128, jnp.int8))(k)
+        return {"q4c": q, "scale": jnp.full((L, d_in // INT4_GROUP, d_out),
+                                            0.02 / 7.0, jnp.float32)}
+
+    wg4c = q4crand(ks[0], D, F)
+    wu4c = q4crand(ks[1], D, F)
+    wd4c = q4crand(ks[2], F, D)
+    _ = float(wd4c["q4c"][0, 0, 0])
+
+    def fused4c_step(x, wg4c, wu4c, wd4c):
+        def body(x, wl):
+            g, u, d = wl
+            y = fused_mlp.fused_mlp_int4c(
+                x, g["q4c"], g["scale"], u["q4c"], u["scale"], d["q4c"],
+                d["scale"], block_f=args.block_f)
+            return jnp.tanh(y), None
+        return jax.lax.scan(body, x, (wg4c, wu4c, wd4c))[0]
+
+    def xla4c_mm(x, q):
+        # two-dot column-packed int4: each dot's operand is a pure
+        # elementwise function of the SAME packed byte array (no
+        # concatenate on the contraction side), so XLA fuses the
+        # convert/floor/scale chain into the dot — nothing materializes.
+        p, s = q["q4c"], q["scale"]
+        K2, half2 = p.shape[-2], p.shape[-1]
+        G2 = s.shape[-2]
+        pf = p.astype(jnp.float32)
+        hi = jnp.floor(pf * (1.0 / 16.0))
+        lo = pf - 16.0 * hi - 8.0
+        sl = s[..., :, :half2].astype(jnp.float32)
+        sh = s[..., :, half2:].astype(jnp.float32)
+        wl = (lo.reshape(G2, K2 // G2, half2) * sl[:, None, :]) \
+            .reshape(K2, half2).astype(jnp.bfloat16)
+        wh = (hi.reshape(G2, K2 // G2, half2) * sh[:, None, :]) \
+            .reshape(K2, half2).astype(jnp.bfloat16)
+        return jnp.concatenate([x @ wl, x @ wh], axis=-1)
+
+    def xla4c_step(x, wg4c, wu4c, wd4c):
+        def body(x, wl):
+            g, u, d = wl
+            y = xla4c_mm(jax.nn.silu(xla4c_mm(x, g)) * xla4c_mm(x, u), d)
+            return jnp.tanh(y[:, :4096]).astype(jnp.bfloat16), None
+        return jax.lax.scan(body, x, (wg4c, wu4c, wd4c))[0]
+
     if args.impl in ("both", "all", "xla"):
         bench("XLA  int8 MLP scan", xla_step, nbytes, wg, wu, wd)
     if args.impl in ("both", "all", "fused"):
         bench("FUSED int8 MLP scan", fused_step, nbytes, wg, wu, wd)
     if args.impl in ("all", "fused4"):
         bench("FUSED int4 MLP scan", fused4_step, nbytes4, wg4, wu4, wd4)
+    if args.impl in ("all", "fused4c"):
+        bench("FUSED int4c MLP scan", fused4c_step, nbytes4,
+              wg4c, wu4c, wd4c)
+    if args.impl in ("all", "xla4c"):
+        bench("XLA2DOT int4c MLP scan", xla4c_step, nbytes4,
+              wg4c, wu4c, wd4c)
 
 
 if __name__ == "__main__":

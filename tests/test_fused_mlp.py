@@ -91,3 +91,90 @@ def test_fused_mlp_wrapper_shapes():
     x = jax.random.normal(key, (1, 3, D), jnp.bfloat16)
     y = fused_mlp.mlp_int8(x, layer, block_f=256, interpret=True)
     assert y.shape == (1, 3, D) and y.dtype == x.dtype
+
+
+@pytest.mark.parametrize("B,D,F,block_f", [(1, 256, 1024, 256),
+                                           (4, 256, 1024, 128),
+                                           (8, 512, 512, 128)])
+def test_fused_mlp_int4c_matches_xla(B, D, F, block_f):
+    """Column-packed int4 v2 kernel (partial-sum dequant) == the XLA
+    dequant path numerics."""
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 4)
+    wg = quant.quantize_weight_int4c(
+        jax.random.normal(ks[0], (D, F), jnp.float32) * 0.05)
+    wu = quant.quantize_weight_int4c(
+        jax.random.normal(ks[1], (D, F), jnp.float32) * 0.05)
+    wd = quant.quantize_weight_int4c(
+        jax.random.normal(ks[2], (F, D), jnp.float32) * 0.05)
+    x = jax.random.normal(ks[3], (B, D), jnp.bfloat16)
+
+    got = fused_mlp.fused_mlp_int4c(
+        x, wg["q4c"], wg["scale"], wu["q4c"], wu["scale"], wd["q4c"],
+        wd["scale"], block_f=block_f, interpret=True)
+    ref = _xla_mlp(x, wg, wu, wd)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2)
+    f32 = _xla_mlp(x.astype(jnp.float32), wg, wu, wd)
+    err_kernel = float(jnp.mean(jnp.abs(got.astype(jnp.float32) - f32)))
+    err_xla = float(jnp.mean(jnp.abs(ref.astype(jnp.float32) - f32)))
+    assert err_kernel <= err_xla * 1.5 + 1e-6
+
+
+def test_matmul_int4c_exact_integers():
+    """The partial-sum identity x@bytes = 16*(x@hi) + x@(lo+8) is EXACT for
+    integer inputs within f32 range: with small-integer activations the
+    kernel must reproduce the dequantized matmul bit-for-bit (scale 1)."""
+    rng = np.random.RandomState(0)
+    K, N = 256, 512
+    q = rng.randint(-7, 8, (K, N)).astype(np.float32)
+    lo = q[:, : N // 2] + 8
+    hi = q[:, N // 2:]
+    packed = jnp.asarray((16 * hi + lo).astype(np.int8))
+    scale = jnp.ones((K // 128, N), jnp.float32)
+    x = jnp.asarray(rng.randint(-4, 5, (2, K)).astype(np.float32),
+                    jnp.bfloat16)
+    got = fused_mlp.matmul_int4c(x, packed, scale, block_n=128,
+                                 interpret=True)
+    ref = np.asarray(x, np.float32) @ q
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_matmul_int4c_matches_dequant():
+    key = jax.random.PRNGKey(5)
+    K, N = 256, 768
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.05
+    qw = quant.quantize_weight_int4c(w)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, K), jnp.bfloat16)
+    got = fused_mlp.matmul_int4c(x, qw["q4c"], qw["scale"], block_n=128,
+                                 interpret=True)
+    ref = x.astype(jnp.float32) @ quant._dequantize_int4c(qw, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_maybe_fused_dispatches_int4c(monkeypatch):
+    """maybe_fused must route q4c layers to the v2 kernel on TPU and both
+    guards must derive from the same constants (ADVICE r2)."""
+    calls = {}
+
+    def fake_mlp_int4c(x, lp, **kw):
+        calls["v2"] = True
+        return x
+
+    monkeypatch.setattr(fused_mlp, "mlp_int4c", fake_mlp_int4c)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    D, F = 256, 2048  # (F//2) % 512 == 0, group 128 -> Gf=16 even
+    key = jax.random.PRNGKey(0)
+    lp = {
+        "w_gate": quant.quantize_weight_int4c(
+            jax.random.normal(key, (D, F)) * 0.05),
+        "w_up": quant.quantize_weight_int4c(
+            jax.random.normal(key, (D, F)) * 0.05),
+        "w_down": quant.quantize_weight_int4c(
+            jax.random.normal(key, (F, D)) * 0.05),
+    }
+    x = jnp.ones((1, 1, D), jnp.bfloat16)
+    out = fused_mlp.maybe_fused(x, lp, None)
+    assert calls.get("v2") and out is not None

@@ -93,9 +93,11 @@ def test_int4_forward_close():
     # multiple groups per matrix
     qparams = dict(params)
     qparams["llama"] = quant.quantize_llama_params(params["llama"], bits=4)
-    # embedding stays int8 under int4 (gather path)
+    # mixed serving layout (round 3): embedding + attention stay int8,
+    # MLP goes column-packed int4
     assert "q8" in qparams["llama"]["embed"]
-    assert "q4p" in qparams["llama"]["layers"]["wq"]
+    assert "q8" in qparams["llama"]["layers"]["wq"]
+    assert "q4c" in qparams["llama"]["layers"]["w_gate"]
     ids = jnp.asarray(np.random.RandomState(0).randint(
         0, cfg.llama.vocab_size, (1, 24)))
     ref, _, _ = live.forward(params, cfg, input_ids=ids)
@@ -116,11 +118,11 @@ def test_int4_memory_quarter():
     q8 = quant.quantize_llama_params(
         jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)["llama"],
         bits=8)
-    # layer matrices: int4 bytes ~half of int8 (embed stays int8; scales add
-    # a small overhead)
+    # layer matrices: the mixed layout halves the MLP (75% of layer bytes);
+    # attention stays int8 (see quant._INT4C_MATS note) -> ~0.64x total
     b4 = quant.param_bytes(q4["layers"])
     b8 = quant.param_bytes(q8["layers"])
-    assert b4 < b8 * 0.62
+    assert b4 < b8 * 0.72
 
 
 def test_int4_engine_serves():
@@ -143,3 +145,67 @@ def test_int4_engine_serves():
         if not eng.frame_embeds_queue:
             break
     assert got_response
+
+
+def test_int4c_pack_roundtrip_exact():
+    """Column-packed int4: dequantize(quantize(w)) == the row-packed q4p
+    dequant of the same values (identical grids), and the packed byte
+    decomposition byte = 16*hi + (lo+8) is exact."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from videollm_online_tpu.models import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512),
+                          jnp.float32) * 0.05
+    qc = quant.quantize_weight_int4c(w)
+    qp = quant.quantize_weight_int4(w)
+    np.testing.assert_allclose(
+        np.asarray(quant._dequantize_int4c(qc, jnp.float32)),
+        np.asarray(quant._dequantize_int4(qp, jnp.float32)), rtol=0, atol=0)
+    # bytes decompose exactly
+    p = np.asarray(qc["q4c"], np.int32)
+    hi = np.floor_divide(p, 16)
+    lo = p - 16 * hi - 8
+    assert hi.min() >= -7 and hi.max() <= 7
+    assert lo.min() >= -7 and lo.max() <= 7
+
+
+def test_int4_mixed_layout_quantizer():
+    """bits=4 produces the mixed serving layout: MLP + lm_head q4c,
+    attention + embedding int8 (quant._INT4C_MATS)."""
+    import jax
+    from videollm_online_tpu.core.config import tiny_llama_config
+    from videollm_online_tpu.models import llama, quant
+
+    cfg = tiny_llama_config()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    q = quant.quantize_llama_params(params, bits=4)
+    for n in ("w_gate", "w_up", "w_down"):
+        assert "q4c" in q["layers"][n], n
+    for n in ("wq", "wk", "wv", "wo"):
+        assert "q8" in q["layers"][n], n
+    assert "q4c" in q["lm_head"]
+    assert "q8" in q["embed"]
+
+
+def test_int4c_forward_close():
+    """Tiny decoder forward with the mixed int4c layout stays close to the
+    bf16 forward (same tolerance as the q4p path)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from videollm_online_tpu.core.config import tiny_llama_config
+    from videollm_online_tpu.models import llama, quant
+
+    cfg = tiny_llama_config()
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    qparams = quant.quantize_llama_params(params, bits=4)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0,
+                             cfg.vocab_size)
+    ref, _ = llama.forward(params, cfg=cfg, input_ids=ids)
+    got, _ = llama.forward(qparams, cfg=cfg, input_ids=ids)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    assert np.argmax(ref[0, -1]) == np.argmax(got[0, -1]) or \
+        np.corrcoef(ref[0, -1], got[0, -1])[0, 1] > 0.98

@@ -36,11 +36,13 @@ import jax.numpy as jnp
 
 QUANT_KEY = "q8"
 QUANT4_KEY = "q4p"
+QUANT4C_KEY = "q4c"
 INT4_GROUP = 128  # reduction-dim group size for int4 scales
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and (QUANT_KEY in leaf or QUANT4_KEY in leaf)
+    return isinstance(leaf, dict) and (QUANT_KEY in leaf or QUANT4_KEY in leaf
+                                       or QUANT4C_KEY in leaf)
 
 
 def quantize_weight(w: jax.Array, axis: int = 0) -> Dict[str, jax.Array]:
@@ -55,6 +57,8 @@ def quantize_weight(w: jax.Array, axis: int = 0) -> Dict[str, jax.Array]:
 
 def dequantize_weight(qw: Dict[str, jax.Array], axis: int = 0,
                       dtype=jnp.bfloat16) -> jax.Array:
+    if QUANT4C_KEY in qw:
+        return _dequantize_int4c(qw, jnp.float32).astype(dtype)
     if QUANT4_KEY in qw:
         return _dequantize_int4(qw, jnp.float32).astype(dtype)
     scale = jnp.expand_dims(qw["scale"], axis)
@@ -99,6 +103,53 @@ def _unpack_nibbles(p: jax.Array, dtype) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
 
 
+def quantize_weight_int4c(w: jax.Array, group: int = INT4_GROUP
+                          ) -> Dict[str, jax.Array]:
+    """COLUMN-packed symmetric group-wise int4 ("v2", round 3).
+
+    Same group-wise quantization as :func:`quantize_weight_int4` but packed
+    along the OUTPUT axis: byte ``(k, j)`` holds output column ``j + out/2``
+    as a SIGNED high nibble and column ``j`` as a BIASED (+8) low nibble:
+
+        byte = 16 * q[k, j + out/2] + (q[k, j] + 8)          (int8-exact)
+
+    This layout exists for the fused kernels' partial-sum dequant trick
+    (ops/fused_mlp.py): because the two nibbles of a byte belong to the SAME
+    contraction row, ``x @ byte_matrix = 16 * (x @ hi) + x @ lo_biased`` —
+    the kernel recovers both output-column halves from ONE matmul against
+    the raw bytes plus one against the floor-extracted high nibble, with
+    scales and the +8 bias applied to (B, block) PARTIALS per contraction
+    group. VPU cost falls from ~11 ops/packed-byte (the q4p row-packed
+    unpack + per-element scales) to ~5."""
+    *lead, d_in, d_out = w.shape
+    group = min(group, d_in)
+    assert d_in % group == 0, (d_in, group)
+    assert d_out % 2 == 0, d_out
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // group, group, d_out)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7)
+    q = q.reshape(*lead, d_in, d_out).astype(jnp.int8)
+    lo = q[..., :, : d_out // 2] + 8                 # biased [1, 15]
+    hi = q[..., :, d_out // 2:]                      # signed [-7, 7]
+    packed = (16 * hi + lo).astype(jnp.int8)
+    return {QUANT4C_KEY: packed, "scale": jnp.squeeze(scale, -2)}
+
+
+def _dequantize_int4c(qw: Dict[str, jax.Array], dtype) -> jax.Array:
+    p = qw[QUANT4C_KEY]
+    # hi = floor(byte / 16) holds because the low half is biased to [0, 15]
+    hi = jnp.floor_divide(p.astype(jnp.int32), 16)
+    lo = p.astype(jnp.int32) - 16 * hi - 8
+    q = jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+    scale = qw["scale"]
+    *lead, d_in, d_out = q.shape
+    n_groups = scale.shape[-2]
+    wf = q.reshape(*lead, n_groups, d_in // n_groups, d_out)
+    wf = wf * scale[..., :, None, :].astype(dtype)
+    return wf.reshape(*lead, d_in, d_out)
+
+
 def _dequantize_int4(qw: Dict[str, jax.Array], dtype) -> jax.Array:
     q = _unpack_nibbles(qw[QUANT4_KEY], dtype)
     scale = qw["scale"]
@@ -122,6 +173,15 @@ def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     token. A per-matmul kernel cannot win the decode path; the winning shape
     would be one fused whole-layer kernel. The kernel was deleted (see git
     history / BENCH_NOTES.md)."""
+    if QUANT4C_KEY in qw:
+        # serving decode dispatches the fused Pallas matmul (in-register
+        # partial-sum dequant); everywhere else (CPU tests, prefill) the
+        # XLA dequant fallback is correct if slower
+        from ..ops.fused_mlp import maybe_matmul_int4c
+        y = maybe_matmul_int4c(x, qw)
+        if y is not None:
+            return y.astype(x.dtype)
+        return x @ _dequantize_int4c(qw, x.dtype)
     if QUANT4_KEY in qw:
         # group-wise scales cannot fold into the epilogue; dequantize into
         # the matmul's weight operand (XLA fuses convert+mul into its weight
@@ -132,13 +192,26 @@ def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     return y * qw["scale"].astype(x.dtype)
 
 
+# int4 serving layout (round 3, measured): column-packed int4 (q4c) for the
+# matrices the fused kernels cover — the MLP (75% of layer bytes, whole-MLP
+# kernel = ONE pallas_call per layer) and the lm_head (one call per token).
+# qkv/o STAY int8: four extra pallas_call fusion barriers per layer
+# (~22us each, BENCH_NOTES.md) would cost more than the 0.67 GB they save,
+# and XLA's int4 path materializes the unpacked operand in HBM.
+_INT4C_MATS = ("w_gate", "w_up", "w_down")
+
+
 def quantize_llama_params(params: Dict[str, Any], bits: int = 8
                           ) -> Dict[str, Any]:
     """Quantize all big decoder matrices; everything else passes through.
-    ``bits`` = 8 (per-channel) or 4 (group-wise; embedding stays int8)."""
+    ``bits`` = 8 (per-channel int8) or 4 (the mixed int4 serving layout:
+    MLP + lm_head column-packed group-wise int4, attention + embedding
+    int8 — see _INT4C_MATS note)."""
     assert bits in (8, 4), bits
-    quant_mat = (quantize_weight_int4 if bits == 4
-                 else lambda w: quantize_weight(w, axis=-2))
+    int8_mat = lambda w: quantize_weight(w, axis=-2)  # noqa: E731
+    quant_for = (lambda name: (quantize_weight_int4c
+                               if bits == 4 and name in _INT4C_MATS
+                               else int8_mat))
     out = {}
     out["embed"] = quantize_weight(params["embed"], axis=1)  # per-row
     out["final_norm"] = params["final_norm"]
@@ -147,10 +220,11 @@ def quantize_llama_params(params: Dict[str, Any], bits: int = 8
         if name in ("attn_norm", "mlp_norm"):
             layers[name] = w
         else:
-            layers[name] = quant_mat(w)  # stacked (L, in, out)
+            layers[name] = quant_for(name)(w)  # stacked (L, in, out)
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = quant_mat(params["lm_head"])
+        out["lm_head"] = (quantize_weight_int4c(params["lm_head"])
+                          if bits == 4 else int8_mat(params["lm_head"]))
     return out
 
 
@@ -175,21 +249,27 @@ def random_quantized_llama_params(key: jax.Array, cfg, bits: int = 8
     assert bits in (8, 4), bits
     L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
 
-    def qrand(k, shape, fan_in):
-        if bits == 4:
-            # random bytes ARE valid packed nibbles — build packed directly
-            # (no full-width staging copy on device)
-            packed = jax.random.randint(
-                k, shape[:-2] + (shape[-2] // 2, shape[-1]), -128, 128,
-                jnp.int8)
-            n_groups = max(shape[-2] // INT4_GROUP, 1)
-            scale = jnp.full(shape[:-2] + (n_groups, shape[-1]),
-                             0.02 / 7.0 / np.sqrt(fan_in / D), jnp.float32)
-            return {QUANT4_KEY: packed, "scale": scale}
+    def qrand8(k, shape, fan_in):
         q = jax.random.randint(k, shape, -127, 128, jnp.int8)
         scale = jnp.full(shape[:-2] + (shape[-1],),
                          0.02 / 127.0 / np.sqrt(fan_in / D), jnp.float32)
         return {QUANT_KEY: q, "scale": scale}
+
+    def qrand4c(k, shape, fan_in):
+        # column-packed layout (see quantize_weight_int4c): ANY int8 byte
+        # decodes consistently (hi = floor(b/16), lo = b - 16*hi - 8), so
+        # random bytes are valid packed data — no full-width staging copy
+        packed = jax.random.randint(
+            k, shape[:-1] + (shape[-1] // 2,), -128, 128, jnp.int8)
+        n_groups = max(shape[-2] // INT4_GROUP, 1)
+        scale = jnp.full(shape[:-2] + (n_groups, shape[-1]),
+                         0.02 / 7.0 / np.sqrt(fan_in / D), jnp.float32)
+        return {QUANT4C_KEY: packed, "scale": scale}
+
+    def qrand(k, shape, fan_in, name=""):
+        if bits == 4 and (name in _INT4C_MATS or name == "lm_head"):
+            return qrand4c(k, shape, fan_in)
+        return qrand8(k, shape, fan_in)
 
     keys = jax.random.split(key, 10)
     dims = {
@@ -202,7 +282,7 @@ def random_quantized_llama_params(key: jax.Array, cfg, bits: int = 8
         "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
     }
     for i, (name, (din, dout)) in enumerate(dims.items()):
-        layers[name] = qrand(keys[i], (L, din, dout), din)
+        layers[name] = qrand(keys[i], (L, din, dout), din, name=name)
     V = cfg.vocab_size
     return {
         "embed": {QUANT_KEY: jax.random.randint(keys[7], (V, D), -127, 128,
@@ -210,5 +290,5 @@ def random_quantized_llama_params(key: jax.Array, cfg, bits: int = 8
                   "scale": jnp.full((V,), 0.02 / 127.0, jnp.float32)},
         "layers": layers,
         "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": qrand(keys[8], (D, V), D),
+        "lm_head": qrand(keys[8], (D, V), D, name="lm_head"),
     }

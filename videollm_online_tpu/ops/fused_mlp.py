@@ -252,6 +252,243 @@ def fused_mlp_int4(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
     return out.astype(x.dtype)
 
 
+# --------------------------------------------------------------------------
+# int4 v2: COLUMN-packed nibbles (models/quant.quantize_weight_int4c) with
+# partial-sum dequant. Because both nibbles of a byte share the same
+# contraction row,  x @ bytes = 16*(x @ hi) + x @ lo_biased : ONE matmul
+# against the raw bytes plus one against the floor-extracted high nibble
+# recovers both output-column halves on (B, block) partials. Scales and the
+# +8 low-nibble bias apply per contraction GROUP to those partials, never
+# per element. VPU cost: ~5 ops/packed byte (cvt-bf16, cvt-f32, mul, floor,
+# cvt-bf16) vs ~11 for the row-packed q4p kernel — measured 5.71 ->
+# ~byte-roof ms per 8-layer MLP (see BENCH_NOTES.md round 3).
+
+
+def _int4c_partials(x, w, s_lo, s_hi):
+    """x (B, K) bf16, w (K, PB) col-packed int8, s_lo/s_hi (G, PB) f32
+    -> (acc_lo, acc_hi) (B, PB) f32 with scales applied."""
+    K = w.shape[0]
+    G = s_lo.shape[0]
+    gk = K // G
+    xf = x.astype(jnp.float32)
+    acc_lo = acc_hi = None
+    for g in range(G):
+        xg = x[:, g * gk:(g + 1) * gk]
+        fg = w[g * gk:(g + 1) * gk, :]
+        y_mix = jnp.dot(xg, fg.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        hi_f = jnp.floor(fg.astype(jnp.float32) * (1.0 / 16.0))
+        y_hi = jnp.dot(xg, hi_f.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        rs = jnp.sum(xf[:, g * gk:(g + 1) * gk], axis=1, keepdims=True)
+        y_lo = y_mix - 16.0 * y_hi - 8.0 * rs
+        pl_ = y_lo * s_lo[g:g + 1, :]
+        ph_ = y_hi * s_hi[g:g + 1, :]
+        acc_lo = pl_ if acc_lo is None else acc_lo + pl_
+        acc_hi = ph_ if acc_hi is None else acc_hi + ph_
+    return acc_lo, acc_hi
+
+
+def _kernel_int4c(x_ref, wg_ref, sgl_ref, sgh_ref, wu_ref, sul_ref, suh_ref,
+                  wdl_ref, wdh_ref, sd_ref, out_ref, *, gf_per: int):
+    """One F-block step of the column-packed int4 SwiGLU MLP. Step j covers
+    unpacked F-columns [j*PB, (j+1)*PB) (lo nibbles) and [F/2 + j*PB, ...)
+    (hi nibbles) of gate/up, then immediately consumes exactly those h rows
+    of wd (two row-blocks of the column-packed down matrix)."""
+    j = pl.program_id(0)
+    x = x_ref[:]                                    # (B, D) bf16
+    Dh = wdl_ref.shape[1]
+
+    g_lo, g_hi = _int4c_partials(x, wg_ref[:], sgl_ref[:], sgh_ref[:])
+    u_lo, u_hi = _int4c_partials(x, wu_ref[:], sul_ref[:], suh_ref[:])
+    h_lo = ((g_lo * jax.nn.sigmoid(g_lo)) * u_lo).astype(jnp.bfloat16)
+    h_hi = ((g_hi * jax.nn.sigmoid(g_hi)) * u_hi).astype(jnp.bfloat16)
+
+    sd = sd_ref[:][0]                               # (16, D)
+    out_lo = out_hi = None
+    for src_idx, (hs, wd_r) in enumerate(((h_lo, wdl_ref), (h_hi, wdh_ref))):
+        wd = wd_r[:]                                # (PB, Dh) packed
+        PB = wd.shape[0]
+        gk = PB // gf_per
+        hf = hs.astype(jnp.float32)
+        for gf in range(gf_per):
+            hg = hs[:, gf * gk:(gf + 1) * gk]
+            fg = wd[gf * gk:(gf + 1) * gk, :]
+            y_mix = jnp.dot(hg, fg.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            hi_f = jnp.floor(fg.astype(jnp.float32) * (1.0 / 16.0))
+            y_hi = jnp.dot(hg, hi_f.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            rs = jnp.sum(hf[:, gf * gk:(gf + 1) * gk], axis=1, keepdims=True)
+            y_lo = y_mix - 16.0 * y_hi - 8.0 * rs
+            srow = sd[src_idx * 8 + gf:src_idx * 8 + gf + 1, :]  # (1, D)
+            pl_ = y_lo * srow[:, :Dh]
+            ph_ = y_hi * srow[:, Dh:]
+            out_lo = pl_ if out_lo is None else out_lo + pl_
+            out_hi = ph_ if out_hi is None else out_hi + ph_
+
+    res = jnp.concatenate([out_lo, out_hi], axis=1)  # (B, D)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = res
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + res
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_mlp_int4c(x, wg_p, wg_s, wu_p, wu_s, wd_p, wd_s, *,
+                    block_f: int = None, interpret: bool = False):
+    """SwiGLU MLP over COLUMN-packed int4 weights: x (B, D) -> (B, D).
+
+    wg_p/wu_p: (D, F/2) packed int8 (byte (k, j) = 16*q[k, j+F/2] +
+    (q[k, j]+8)), scales (D/group, F) f32; wd_p: (F, D/2) packed, scale
+    (F/group, D) f32. block_f is the PACKED column block (covers the column
+    pair (j, j+F/2) per packed column)."""
+    B, D = x.shape
+    half = wg_p.shape[1]                 # F/2
+    F = 2 * half
+    block_f = BLOCK_F if block_f is None else block_f
+    fb = min(block_f, half)
+    assert half % fb == 0, (F, fb)
+    steps = half // fb
+    Gd = wg_s.shape[0]
+    Gf = wd_s.shape[0]
+    group_f = F // Gf
+    assert Gf % 2 == 0 and fb % group_f == 0, (Gf, fb, group_f)
+    gf_per = fb // group_f               # F-groups per step per source
+    assert gf_per <= 8, gf_per
+    # per-step down scales: rows [0, gf_per) = lo-source groups, rows
+    # [8, 8+gf_per) = hi-source groups (8-row padding per Mosaic block rule)
+    sdl = wd_s[: Gf // 2].reshape(steps, gf_per, D)
+    sdh = wd_s[Gf // 2:].reshape(steps, gf_per, D)
+    pad = ((0, 0), (0, 8 - gf_per), (0, 0))
+    sd = jnp.concatenate([jnp.pad(sdl, pad), jnp.pad(sdh, pad)], axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_int4c, gf_per=gf_per),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, fb), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, fb), lambda j, s=steps: (0, s + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, fb), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, fb), lambda j, s=steps: (0, s + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, D // 2), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, D // 2), lambda j, s=steps: (s + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, D), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F * 3 * 2,   # mix + hi matmuls
+            bytes_accessed=3 * D * F // 2 + 2 * B * D,
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wg_p, wg_s, wg_s, wu_p, wu_s, wu_s,
+      wd_p, wd_p, sd)
+    return out.astype(x.dtype)
+
+
+def _kernel_matmul_int4c(x_ref, w_ref, sl_ref, sh_ref, lo_ref, hi_ref):
+    acc_lo, acc_hi = _int4c_partials(x_ref[:], w_ref[:], sl_ref[:],
+                                     sh_ref[:])
+    lo_ref[:] = acc_lo
+    hi_ref[:] = acc_hi
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def matmul_int4c(x, w_p, w_s, *, block_n: int, interpret: bool = False):
+    """x (B, K) @ column-packed int4 (K, N/2; scale (K/group, N)) -> (B, N)
+    f32. One pallas_call; used for the int4 lm_head (one call per decode
+    token — the per-matmul fusion-barrier economics that kill per-matmul
+    int8 kernels don't apply to a matrix XLA can't stream packed)."""
+    B, K = x.shape
+    half = w_p.shape[1]
+    N = 2 * half
+    G = w_s.shape[0]
+    assert half % block_n == 0, (half, block_n)
+    steps = half // block_n
+
+    lo, hi = pl.pallas_call(
+        _kernel_matmul_int4c,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_n), lambda j, s=steps: (0, s + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, half), jnp.float32),
+                   jax.ShapeDtypeStruct((B, half), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N * 2,
+            bytes_accessed=K * N // 2 + 4 * B * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w_p, w_s, w_s)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _int4c_block_n(half: int, group: int) -> int:
+    """Largest packed-column block <= 512 that divides N/2 (lane-aligned)."""
+    for cand in (512, 384, 256, 128):
+        if half % cand == 0:
+            return cand
+    return 0
+
+
+def maybe_matmul_int4c(x, qw):
+    """Trace-time dispatch for a single col-packed int4 matmul (lm_head,
+    gate-logit gathers): TPU + decode-regime token counts only. Returns
+    (.., N) f32 output or None (caller falls back to the XLA dequant)."""
+    if not _enabled() or jax.default_backend() != "tpu":
+        return None
+    w_p, w_s = qw.get("q4c"), qw.get("scale")
+    if w_p is None or w_p.ndim != 2:
+        return None
+    *lead, K = x.shape
+    B = 1
+    for d in lead:
+        B *= d
+    if B == 0 or B > MAX_FUSED_TOKENS:
+        return None
+    if K != w_p.shape[0] or K % w_s.shape[0]:
+        return None
+    bn = _int4c_block_n(w_p.shape[1], K // w_s.shape[0])
+    if not bn:
+        return None
+    y = matmul_int4c(x.reshape(B, K), w_p, w_s, block_n=bn)
+    return y.reshape(*lead, y.shape[-1])
+
+
 def mlp_int8(x, layer_params, *, block_f: int = None, interpret: bool = False):
     """(B, S, D) wrapper over the fused kernel for models/llama._layer.
 
@@ -274,6 +511,18 @@ def mlp_int4(x, layer_params, *, block_f: int = None, interpret: bool = False):
     y = fused_mlp_int4(
         x.reshape(B * S, D), wg["q4p"], wg["scale"], wu["q4p"], wu["scale"],
         wd["q4p"], wd["scale"], block_f=block_f, interpret=interpret)
+    return y.reshape(B, S, D)
+
+
+def mlp_int4c(x, layer_params, *, block_f: int = None,
+              interpret: bool = False):
+    """(B, S, D) wrapper over the column-packed int4 fused kernel."""
+    B, S, D = x.shape
+    wg, wu, wd = (layer_params["w_gate"], layer_params["w_up"],
+                  layer_params["w_down"])
+    y = fused_mlp_int4c(
+        x.reshape(B * S, D), wg["q4c"], wg["scale"], wu["q4c"], wu["scale"],
+        wd["q4c"], wd["scale"], block_f=block_f, interpret=interpret)
     return y.reshape(B, S, D)
 
 
@@ -317,6 +566,16 @@ def maybe_fused(x, layer_params, layer_lora):
     # int4: the kernel dequantizes nibbles in-registers, which XLA cannot
     # (it materializes the unpacked operand; the int4 engine measured 3x
     # slower than int8 via XLA) — dispatch it for int4-quantized layers.
+    # int4 v2 (column-packed, round 3): partial-sum dequant — ~5 VPU
+    # ops/byte vs q4p's ~11; this is the int4 serving layout.
+    if all("q4c" in m for m in mats):
+        F = 2 * wg["q4c"].shape[1]
+        gf = wd["scale"].shape[0]
+        fb = min(BLOCK_F, F // 2)
+        if (gf % 2 or (F // 2) % fb or fb % (F // gf)
+                or fb // (F // gf) > 8):
+            return None
+        return mlp_int4c(x, layer_params)
     if all("q4p" in m for m in mats):
         F = wg["q4p"].shape[1]
         gd, gf = wg["scale"].shape[0], wd["scale"].shape[0]
