@@ -28,6 +28,13 @@ def main():
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--ctx", type=int, default=8192)
     p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--only_ms", action="store_true",
+                   help="skip the latency stages; run only the multistream "
+                        "aggregate stage (quick A/B of ms_mode)")
+    p.add_argument("--ms_mode", default="pipelined",
+                   choices=["unfused", "fused", "pipelined"],
+                   help="multistream tick mode: 2-dispatch, fused "
+                        "single-dispatch, or fused + dispatch-pipelined")
     p.add_argument("--trace_dir", default="")
     p.add_argument("--quantize", default="", choices=["", "int8", "int4"],
                    help="weight-only quant (8b defaults to int8)")
@@ -82,6 +89,7 @@ def main():
         print(f"[serve_bench] {msg}", flush=True)
 
     with trace_session(args.trace_dir or None):
+      if not args.only_ms:
         progress("compiling frame step...")
         # 1. per-frame ingest latency, synced per frame (worst case)
         cache = llama.init_kv_cache(cfg.llama, 1, args.ctx)
@@ -123,12 +131,13 @@ def main():
             "response_full_budget"]["p50_ms"]
         print(json.dumps(report, indent=1), flush=True)
 
-        # 3. multistream aggregate throughput: N concurrent dialogues through
-        # the public MultiStreamEngine (batched chunked ingest + batched
-        # greedy responses); workload mirrors bench.py engine mode — gate
-        # held by the logit-bias knob, one 20-token response per stream per
-        # 8 frames
-        if args.streams > 0:
+      # 3. multistream aggregate throughput: N concurrent dialogues through
+      # the public MultiStreamEngine (batched chunked ingest + batched
+      # greedy responses); workload mirrors bench.py engine mode — gate
+      # held by the logit-bias knob, one 20-token response per stream per
+      # 8 frames
+      if args.streams > 0:
+        if True:
             from videollm_online_tpu.serve.multistream import MultiStreamEngine
 
             ms_cfg = cfg.replace(gate_logit_bias=30.0,
@@ -142,7 +151,9 @@ def main():
                  + (per_stream // 8 + 2) * (128 + 20)) // 256 + 1)
             ms = MultiStreamEngine(params, tok, ms_cfg,
                                    num_streams=args.streams,
-                                   kv_capacity=ms_ctx)
+                                   kv_capacity=ms_ctx,
+                                   fused=args.ms_mode != "unfused",
+                                   pipelined=args.ms_mode == "pipelined")
             feats = np.asarray(jax.random.normal(
                 rngf, (per_stream, fnt, cfg.vision_hidden_size),
                 jnp.float32))
@@ -175,8 +186,9 @@ def main():
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
                      f"{args.streams} streams ({responses} responses)")
 
-        # 4. encoder throughput (random SigLIP-large weights)
-        if args.encoder_batch > 0:
+      # 4. encoder throughput (random SigLIP-large weights)
+      if args.encoder_batch > 0 and not args.only_ms:
+        if True:
             vparams = siglip.init_params(jax.random.fold_in(key, 2),
                                          cfg.vision)
 

@@ -184,3 +184,122 @@ def test_multistream_stream_window_compaction():
         "compaction never triggered"
     for i in range(N):
         assert small_out[i] == big_out[i], f"stream {i}"
+
+
+def _drive(ms, feats, queries, schedule, fps):
+    """Shared randomized drive: feed frames/queries per the schedule, tick
+    until drained, return per-stream transcript lists."""
+    N = len(feats)
+    fed = [0] * N
+    out = [[] for _ in range(N)]
+    qdone = set()
+    for t in schedule:
+        for i in range(N):
+            if i in queries and queries[i][0] <= t and i not in qdone:
+                ms.input_query(i, queries[i][1], video_time=queries[i][0])
+                qdone.add(i)
+            fidx = min(int(t * fps), feats[i].shape[0] - 1)
+            if fidx >= fed[i]:
+                ms.input_frames(i, fed[i] / fps, feats[i][fed[i]:fidx + 1])
+                fed[i] = fidx + 1
+        for _ in range(32):
+            results = ms.step()
+            got = any(r is not None for r in results)
+            for i, res in enumerate(results):
+                if res is not None:
+                    out[i].append(res)
+            if not got and not any(ms.frame_queues[j] for j in range(N)):
+                break
+    if hasattr(ms, "flush"):
+        for i, entries in enumerate(ms.flush()):
+            out[i].extend(entries)
+    # surface anything still queued
+    for _ in range(32):
+        if not ms.pending():
+            break
+        results = ms.step()
+        for i, res in enumerate(results):
+            if res is not None:
+                out[i].append(res)
+    return out
+
+
+def test_multistream_fused_equals_unfused():
+    """The fused single-dispatch tick must produce EXACTLY the 2-dispatch
+    path's per-stream transcripts over a randomized multi-burst drive with
+    queries (including a mid-burst query boundary)."""
+    cfg, tok, params = _setup(threshold=0.725, seed=3)
+    N, n_frames = 3, 12
+    rng = np.random.RandomState(11)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+    queries = {0: (1.2, "what now?"), 2: (0.75, "anything?")}
+    schedule = [0.0, 1.0, 2.0, 3.5, 5.5]
+
+    ref = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                            kv_capacity=2048, chunk_frames=4, fused=False)
+    ref_out = _drive(ref, feats, queries, schedule, cfg.frame_fps)
+
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                           kv_capacity=2048, chunk_frames=4, fused=True)
+    got_out = _drive(ms, feats, queries, schedule, cfg.frame_fps)
+
+    for i in range(N):
+        assert got_out[i] == ref_out[i], (
+            f"stream {i}:\nfused={got_out[i]}\nunfused={ref_out[i]}")
+
+
+def test_multistream_pipelined_equals_blocking():
+    """Pipelined dispatch chaining (device-resident prepend, speculative
+    consumption) must not change any stream's transcript."""
+    cfg, tok, params = _setup(threshold=0.725, seed=4)
+    N, n_frames = 2, 16
+    rng = np.random.RandomState(13)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+    queries = {1: (1.6, "status?")}
+    schedule = [0.0, 1.5, 3.0, 5.0, 7.5]
+
+    ref = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                            kv_capacity=2048, chunk_frames=4, fused=True)
+    ref_out = _drive(ref, feats, queries, schedule, cfg.frame_fps)
+
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                           kv_capacity=2048, chunk_frames=4, fused=True,
+                           pipelined=True, pipeline_depth=2)
+    got_out = _drive(ms, feats, queries, schedule, cfg.frame_fps)
+
+    for i in range(N):
+        assert got_out[i] == ref_out[i], (
+            f"stream {i}:\npipelined={got_out[i]}\nblocking={ref_out[i]}")
+
+
+def test_multistream_fused_slot_overflow():
+    """threshold=1.0 fires the gate at EVERY frame: more fires per chunk
+    than R_TICK slots, driving the stop_fire host-fallback path (and, in
+    pipelined mode, rollback). Transcripts must still equal the unfused
+    path's."""
+    cfg, tok, params = _setup(threshold=1.0, seed=5)
+    N, n_frames = 2, 6
+    rng = np.random.RandomState(17)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+    schedule = [0.0, 2.5]
+
+    ref = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                            kv_capacity=4096, chunk_frames=4, fused=False)
+    ref_out = _drive(ref, feats, {}, schedule, cfg.frame_fps)
+    assert sum(len(o) for o in ref_out) >= 2 * n_frames - 2  # fires happen
+
+    for pipe in (False, True):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                               kv_capacity=4096, chunk_frames=4,
+                               fused=True, pipelined=pipe)
+        got_out = _drive(ms, feats, {}, schedule, cfg.frame_fps)
+        for i in range(N):
+            assert got_out[i] == ref_out[i], (
+                f"pipe={pipe} stream {i}:\nfused={got_out[i]}\n"
+                f"unfused={ref_out[i]}")

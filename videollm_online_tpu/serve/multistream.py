@@ -37,6 +37,12 @@ PROMPT_BUCKET = 128
 
 CHUNK_FRAMES = 8
 
+# response turns per stream per fused tick (gen fires + the end-of-burst
+# query share these slots; a fire beyond them stops the stream's tick and
+# the host fallback path finishes it). 2 covers the realistic profile of
+# <= 1 gate fire per 8-frame chunk plus one query.
+R_TICK = 2
+
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _gather_k(srcs, starts, K: int):
@@ -58,7 +64,16 @@ class MultiStreamEngine:
                  kv_capacity: int = 8192, frame_fps: Optional[float] = None,
                  max_new_tokens: Optional[int] = None, attn_impl=None,
                  chunk_frames: int = CHUNK_FRAMES,
-                 stream_window: Optional[int] = None):
+                 stream_window: Optional[int] = None,
+                 fused: bool = True, pipelined: bool = False,
+                 pipeline_depth: int = 2):
+        # fused: whole tick (ingest + inline responses) as one dispatch;
+        # pipelined: additionally chain tick i+1 through the device-resident
+        # prepend before reading tick i (speculative full consumption,
+        # rolled back on a response-slot overflow or deferred query)
+        self.fused = fused
+        self.pipelined = pipelined
+        self.pipeline_depth = max(1, pipeline_depth)
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
@@ -215,11 +230,18 @@ class MultiStreamEngine:
                                 next_ids[jnp.arange(N), last], cache.offset])
             return cache, packed
 
-        def respond(params, cache, prompt_ids, num_valid, active):
-            """Batched greedy decode for the ACTIVE streams."""
-            p_emb = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
+        sp_ids = self._stream_prompt_ids
+        R = R_TICK
+
+        def _respond_core(params, cache, prompt_ids, num_valid, active):
+            """Batched greedy decode body shared by the standalone respond
+            dispatch and the fused tick. Returns (out, lengths, cache)."""
+            p_emb = llama.embed_tokens(params["llama"], prompt_ids,
+                                       cfg.llama)
+
             def roll_one(e, n):
                 return jnp.roll(e, -(prompt_ids.shape[1] - n), axis=0)
+
             p_emb = jax.vmap(roll_one)(p_emb, num_valid)
             nv = jnp.where(active, num_valid, 0)
             gather = jnp.clip(nv - 1, 0, None)
@@ -229,12 +251,12 @@ class MultiStreamEngine:
             done = jnp.logical_or(jnp.logical_not(active), first == eos)
             lengths = jnp.where(active, 1, 0)
 
-            def cond(st):
+            def rcond(st):
                 i, _, _, done, _ = st
                 return jnp.logical_and(i < max_new,
                                        jnp.logical_not(done.all()))
 
-            def body(st):
+            def rbody(st):
                 i, out, cache, done, lengths = st
                 tok = out[jnp.arange(N), i - 1]
                 emb = llama.embed_tokens(params["llama"], tok[:, None],
@@ -250,11 +272,251 @@ class MultiStreamEngine:
                 return i + 1, out, cache, done, lengths
 
             _, out, cache, _, lengths = jax.lax.while_loop(
-                cond, body, (jnp.asarray(1), out, cache, done, lengths))
-            # one packed (N, 2 + max_new) readback: [len, offset, ids...]
+                rcond, rbody, (jnp.asarray(1), out, cache, done, lengths))
+            return out, lengths, cache
+
+        def respond(params, cache, prompt_ids, num_valid, active):
+            """Batched greedy decode for the ACTIVE streams (standalone
+            dispatch: the unfused path + the stop_fire fallback). One
+            packed (N, 2 + max_new) readback: [len, offset, ids...]."""
+            out, lengths, cache = _respond_core(
+                params, cache, prompt_ids, num_valid, active)
             packed = jnp.concatenate(
                 [lengths[:, None], cache.offset[:, None], out], axis=1)
             return packed, cache
+
+        def _chunk_core(params, cache, pre_text, pre_n, frames, starts,
+                        k_i):
+            """One gated chunk pass over per-stream frame windows
+            [starts, starts+k_i) of the padded operand. Returns (cache,
+            fired, first_fire, next_at_last, adv)."""
+            K = self.chunk_frames
+            win = jax.vmap(lambda src, i0: jax.lax.dynamic_slice(
+                src, (i0, 0, 0), (K,) + src.shape[1:]))(frames, starts)
+            t_emb = llama.embed_tokens(params["llama"], pre_text, cfg.llama)
+            f_emb = win.astype(t_emb.dtype)
+            D = t_emb.shape[-1]
+            if use_interval:
+                iv_emb = llama.embed_tokens(
+                    params["llama"], jnp.asarray([[interval_id]], jnp.int32),
+                    cfg.llama)[0]
+                unit = jnp.concatenate(
+                    [jnp.broadcast_to(iv_emb[None, None], (N, K, 1, D)),
+                     f_emb], axis=2)
+                body = jnp.concatenate(
+                    [f_emb[:, 0], unit[:, 1:].reshape(N, -1, D)], axis=1)
+            else:
+                body = f_emb.reshape(N, -1, D)
+            embeds = jnp.concatenate([t_emb, body], axis=1)
+
+            def roll_one(e, n):
+                return jnp.roll(e, -(TEXT_BUCKET - n), axis=0)
+
+            embeds = jax.vmap(roll_one)(embeds, pre_n)
+            valid = jnp.where(
+                k_i > 0,
+                pre_n + k_i * fnt + jnp.maximum(k_i - 1, 0) * itv, 0)
+            ends = (pre_n[:, None] + fnt - 1
+                    + jnp.arange(K, dtype=jnp.int32)[None] * per)
+            logits, cache = fwd(params, embeds, cache, valid,
+                                gather_pos=ends)
+            rows = logits.astype(jnp.float32)
+            if gate_bias:
+                rows = rows.at[..., gate_id].add(gate_bias)
+            probs = jax.nn.softmax(rows, axis=-1)
+            p_gate = probs[..., gate_id]
+            masked = jnp.where((p_gate < thr)[..., None],
+                               probs.at[..., gate_id].set(0.0), probs)
+            next_ids = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            in_range = jnp.arange(K)[None] < k_i[:, None]
+            fires = jnp.logical_and(next_ids != gate_id, in_range)
+            any_fire = fires.any(axis=1)
+            first_fire = jnp.argmax(fires, axis=1)
+            adv = jnp.where(any_fire, first_fire + 1, k_i)
+            adv_tokens = jnp.where(
+                k_i > 0,
+                pre_n + adv * fnt + jnp.maximum(adv - 1, 0) * itv, 0)
+            base = cache.offset - valid
+            cache = cache._replace(offset=base + adv_tokens)
+            last = jnp.clip(adv - 1, 0, K - 1)
+            next_at_last = next_ids[jnp.arange(N), last]
+            return cache, any_fire, first_fire, next_at_last, adv
+
+        def tick(params, cache, text_ids, n_text, frames, meta,
+                 q_ids, q_nv, g_ids, g_nv):
+            """FUSED tick: the whole scheduler tick — gated chunk ingest,
+            up to R_TICK inline response turns per stream (gate fires use
+            the gen prompt; the end-of-burst query uses the per-stream
+            query prompt), and the post-response / post-gate prepend
+            carried in device registers — as ONE dispatch with ONE packed
+            readback. The batched analog of the single-stream
+            ingest_stream (serve/engine.py). A gate fire with no response
+            slot left sets stop_fire and freezes that stream (host
+            fallback resolves it); consumption then < n_frames and the
+            driver re-queues (blocking) or rolls back (pipelined).
+
+            Query arbitration mirrors the blocking host rules exactly:
+            ``qae_ge`` = the burst's last frame reaches the query time
+            (query OUTRANKS a gate fire at that frame); ``qae_after`` =
+            the query falls strictly between this burst and the next
+            queued frame (answered after catch-up UNLESS the gate fired
+            at the final frame, in which case the gen response wins and
+            the query defers to the next tick); ``force`` = respond-only
+            stream (its next frame lies beyond the query).
+
+            ``meta`` (N, 5) i32 packs [n_frames, active, qae_ge,
+            qae_after, force] — ONE host->device upload per tick instead
+            of five (each ~10-26 ms dispatch latency on the tunnel).
+
+            Readback layout per stream (i32):
+              [consumed, offset, pre_n, pre_text*TB, n_resp, stop_fire,
+               answered, (kind, fidx, len)*R, ids*R*max_new]"""
+            K = self.chunk_frames
+            n_frames = meta[:, 0]
+            active = meta[:, 1] > 0
+            qae_ge = meta[:, 2] > 0
+            qae_after = meta[:, 3] > 0
+            force = meta[:, 4] > 0
+
+            def prep_after(pre_text, pre_n, out_row, length):
+                """Post-response prepend: [eos]+stream_prompt on EOS, else
+                the last sampled token (host lines in step())."""
+                last_tok = out_row[jnp.clip(length - 1, 0, max_new - 1)]
+                pt_eos = jnp.zeros((TEXT_BUCKET,), jnp.int32)
+                ids_eos = [eos] + sp_ids
+                for o, tokv in enumerate(ids_eos):
+                    pt_eos = pt_eos.at[TEXT_BUCKET - len(ids_eos) + o].set(
+                        tokv)
+                pt_last = jnp.zeros((TEXT_BUCKET,), jnp.int32) \
+                    .at[TEXT_BUCKET - 1].set(last_tok)
+                is_eos = last_tok == eos
+                pt = jnp.where(is_eos, pt_eos, pt_last)
+                pn = jnp.where(is_eos, len(ids_eos), 1)
+                return pt, pn
+
+            def pend_q_of(answered, stop, defer_q):
+                return jnp.logical_and(
+                    jnp.logical_or(jnp.logical_or(qae_ge, qae_after),
+                                   force),
+                    jnp.logical_and(
+                        jnp.logical_not(answered),
+                        jnp.logical_and(jnp.logical_not(stop),
+                                        jnp.logical_not(defer_q))))
+
+            def body(st):
+                (cache, consumed, n_resp, answered, stop, defer_q,
+                 pre_text, pre_n, stop_fire, out, olen, okind,
+                 ofidx) = st
+                k_i = jnp.clip(n_frames - consumed, 0, K)
+                k_i = jnp.where(jnp.logical_or(stop, ~active), 0, k_i)
+                # skip the whole-weights chunk pass when no stream has
+                # frames this iteration (the final query-respond iteration)
+                cache, fired, _ff, next_id, adv = jax.lax.cond(
+                    (k_i > 0).any(),
+                    lambda c: _chunk_core(params, c, pre_text, pre_n,
+                                          frames, consumed, k_i),
+                    lambda c: (c, jnp.zeros((N,), bool),
+                               jnp.zeros((N,), jnp.int32),
+                               jnp.zeros((N,), jnp.int32),
+                               jnp.zeros((N,), jnp.int32)),
+                    cache)
+                consumed = consumed + adv
+                at_end = consumed >= n_frames
+                # gate-held prepend (overwritten below on a response)
+                held = jnp.logical_and(adv > 0, jnp.logical_not(fired))
+                if use_interval:
+                    pt_gate = jnp.zeros((N, TEXT_BUCKET), jnp.int32) \
+                        .at[:, TEXT_BUCKET - 1].set(next_id)
+                    pre_text = jnp.where(held[:, None], pt_gate, pre_text)
+                    pre_n = jnp.where(held, 1, pre_n)
+                else:
+                    pre_text = jnp.where(held[:, None], 0, pre_text)
+                    pre_n = jnp.where(held, 0, pre_n)
+                pre_n = jnp.where(jnp.logical_and(adv > 0, fired), 0, pre_n)
+
+                # a gate fire at the FINAL frame wins over a strictly-later
+                # query (qae_after): the query defers to the next tick
+                defer_q = jnp.logical_or(defer_q, jnp.logical_and(
+                    jnp.logical_and(fired, at_end),
+                    jnp.logical_and(qae_after,
+                                    jnp.logical_not(qae_ge))))
+                slots = n_resp < R
+                want_q = jnp.logical_and(
+                    pend_q_of(answered, stop, defer_q), at_end)
+                do_gen = jnp.logical_and(fired, jnp.logical_not(want_q))
+                do_resp = jnp.logical_and(jnp.logical_or(do_gen, want_q),
+                                          jnp.logical_and(slots, ~stop))
+                new_stop_fire = jnp.logical_and(
+                    jnp.logical_or(fired, want_q),
+                    jnp.logical_not(slots))
+                stop_fire = jnp.logical_or(stop_fire, new_stop_fire)
+                stop = jnp.logical_or(stop, new_stop_fire)
+
+                use_q = jnp.logical_and(do_resp, want_q)
+                sel_ids = jnp.where(use_q[:, None], q_ids, g_ids)
+                sel_nv = jnp.where(use_q, q_nv, g_nv)
+                # respond only when some stream actually fires/catches up
+                rout, rlen, cache = jax.lax.cond(
+                    do_resp.any(),
+                    lambda c: _respond_core(params, c, sel_ids, sel_nv,
+                                            do_resp),
+                    lambda c: (jnp.zeros((N, max_new), jnp.int32),
+                               jnp.zeros((N,), jnp.int32), c),
+                    cache)
+                answered = jnp.logical_or(answered, use_q)
+
+                slot = jnp.clip(n_resp, 0, R - 1)
+                rows = jnp.arange(N)
+                out = out.at[rows, slot].set(
+                    jnp.where(do_resp[:, None], rout, out[rows, slot]))
+                olen = olen.at[rows, slot].set(
+                    jnp.where(do_resp, rlen, olen[rows, slot]))
+                okind = okind.at[rows, slot].set(
+                    jnp.where(do_resp, use_q.astype(jnp.int32),
+                              okind[rows, slot]))
+                ofidx = ofidx.at[rows, slot].set(
+                    jnp.where(do_resp, jnp.clip(consumed - 1, 0, None),
+                              ofidx[rows, slot]))
+                n_resp = n_resp + do_resp.astype(jnp.int32)
+
+                pt_r, pn_r = jax.vmap(prep_after)(
+                    pre_text, pre_n, rout, rlen)
+                pre_text = jnp.where(do_resp[:, None], pt_r, pre_text)
+                pre_n = jnp.where(do_resp, pn_r, pre_n)
+                return (cache, consumed, n_resp, answered, stop, defer_q,
+                        pre_text, pre_n, stop_fire, out, olen, okind,
+                        ofidx)
+
+            def cond_full(st):
+                (cache, consumed, n_resp, answered, stop, defer_q,
+                 *_r) = st
+                live = jnp.logical_and(consumed < n_frames,
+                                       jnp.logical_not(stop))
+                live = jnp.logical_and(live, active)
+                return jnp.logical_or(
+                    live.any(), pend_q_of(answered, stop, defer_q).any())
+
+            stop0 = jnp.logical_and(jnp.logical_not(active),
+                                    jnp.logical_not(force))
+            st0 = (cache, jnp.zeros((N,), jnp.int32),
+                   jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool),
+                   stop0, jnp.zeros((N,), bool), text_ids, n_text,
+                   jnp.zeros((N,), bool),
+                   jnp.zeros((N, R, max_new), jnp.int32),
+                   jnp.zeros((N, R), jnp.int32),
+                   jnp.zeros((N, R), jnp.int32),
+                   jnp.zeros((N, R), jnp.int32))
+            (cache, consumed, n_resp, answered, _stop, _defer, pre_text,
+             pre_n, stop_fire, out, olen, okind,
+             ofidx) = jax.lax.while_loop(cond_full, body, st0)
+            packed = jnp.concatenate([
+                consumed[:, None], cache.offset[:, None], pre_n[:, None],
+                pre_text, n_resp[:, None],
+                stop_fire.astype(jnp.int32)[:, None],
+                answered.astype(jnp.int32)[:, None],
+                okind.reshape(N, R), ofidx.reshape(N, R),
+                olen.reshape(N, R), out.reshape(N, R * max_new)], axis=1)
+            return cache, packed, pre_text, pre_n
 
         def prefill(params, cache, ids, nv, active):
             embeds = llama.embed_tokens(params["llama"], ids, cfg.llama)
@@ -268,6 +530,10 @@ class MultiStreamEngine:
 
         self._frame_step = jax.jit(frame_step, donate_argnums=(1,))
         self._chunk_step = jax.jit(chunk_step, donate_argnums=(1,))
+        self._tick = jax.jit(tick, donate_argnums=(1,))
+        self._set_offsets = jax.jit(
+            lambda cache, off: cache._replace(offset=off),
+            donate_argnums=(0,))
         self._compact_jit = jax.jit(llama.compact_kv_cache,
                                     donate_argnums=(0,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
@@ -284,6 +550,10 @@ class MultiStreamEngine:
             return jnp.concatenate([flat, pad], axis=0)
 
         self._project_padded = jax.jit(project_padded)
+        # K trailing zero rows so the fused tick's per-iteration
+        # dynamic_slice (start = consumed in [0, K], length K) never clamps
+        self._pad_frames = jax.jit(
+            lambda f: jnp.pad(f, ((0, 0), (0, K), (0, 0), (0, 0))))
 
     # ---------------------------------------------------------------- state
     def reset(self):
@@ -297,6 +567,14 @@ class MultiStreamEngine:
         self.transcripts: List[List[Tuple]] = [[] for _ in range(self.N)]
         # host mirror of cache.offset (guards without a tunnel readback)
         self._host_offsets = np.zeros((self.N,), np.int64)
+        # fused-tick surfacing queues (step() returns one response per
+        # stream per call; extras queue here FIFO)
+        self._resp_out = [collections.deque() for _ in range(self.N)]
+        # pipelined mode: unresolved tick dispatches + the device-resident
+        # prepend chaining the next dispatch
+        self._pipe: collections.deque = collections.deque()
+        self._carry = None
+        self._dev_cache: Dict = {}
 
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
@@ -385,10 +663,39 @@ class MultiStreamEngine:
                                    jnp.asarray(nv), jnp.asarray(active))
 
     def step(self) -> List[Optional[Tuple[Optional[str], str]]]:
-        """One scheduler tick: feed up to ``chunk_frames`` queued frames per
-        stream in one dispatch (catch-up bursts amortize one weight-streaming
-        pass over the whole chunk, same as the single-stream chunked ingest),
-        gate at every frame, respond for fired streams. Returns per-stream
+        """One scheduler tick. Default (``fused=True``): the whole tick —
+        chunked gated ingest + inline responses — is ONE device dispatch
+        with ONE packed readback (the ``tick`` program); with
+        ``pipelined=True`` tick i+1 is dispatched through the
+        device-resident prepend before tick i's readback is consumed.
+        Returns per-stream (query, response) or None; responses beyond one
+        per stream per call surface on subsequent calls (FIFO)."""
+        if not self.fused:
+            return self._step_unfused()
+        if self.pipelined:
+            return self._step_pipe()
+        self._prefill_starts()
+        coll = self._collect_tick()
+        if coll == "fallback":
+            return self._step_unfused()
+        if coll is not None:
+            self.cache, packed, _pt, _pn = self._dispatch_tick(
+                coll, jnp.asarray(coll["text_ids"]),
+                jnp.asarray(coll["n_text"]))
+            self._absorb_tick(np.asarray(packed), coll, frames_popped=False)
+        return self._drain_out()
+
+    def _drain_out(self):
+        return [self._resp_out[i].popleft() if self._resp_out[i] else None
+                for i in range(self.N)]
+
+    def _step_unfused(self) -> List[Optional[Tuple[Optional[str], str]]]:
+        """One scheduler tick, 2-dispatch form: feed up to ``chunk_frames``
+        queued frames per stream in one dispatch (catch-up bursts amortize
+        one weight-streaming pass over the whole chunk, same as the
+        single-stream chunked ingest), gate at every frame, respond for
+        fired streams in a second dispatch. The fused tick is
+        oracle-tested against this path. Returns per-stream
         (query, response) or None."""
         self._prefill_starts()
         K = self.chunk_frames
@@ -564,6 +871,352 @@ class MultiStreamEngine:
                 self.transcripts[i].append(results[i])
         return results
 
+    # ------------------------------------------------------- fused tick I/O
+    def _collect_tick(self):
+        """Host prologue of one fused tick: per-stream burst/query
+        collection, arbitration flags and prompt operands. Returns None
+        when there is no work, the string "fallback" when this tick must
+        run the unfused path (tight ring, oversized query prompt), else a
+        dict of operands + bookkeeping."""
+        N, K = self.N, self.chunk_frames
+        active = np.zeros((N,), bool)
+        force = np.zeros((N,), bool)
+        qae_ge = np.zeros((N,), bool)
+        qae_after = np.zeros((N,), bool)
+        n_frames = np.zeros((N,), np.int32)
+        bursts: List[List[Tuple[float, object]]] = [[] for _ in range(N)]
+        queries: List[Optional[Tuple[float, str]]] = [None] * N
+        q_ids = np.zeros((N, PROMPT_BUCKET), np.int32)
+        q_nv = np.zeros((N,), np.int32)
+        any_work = False
+        for i in range(N):
+            if self._needs_prefill[i]:
+                continue
+            fq, qq = self.frame_queues[i], self.query_queues[i]
+            qt = qq[0][0] if qq else None
+            if fq and qt is not None and fq[0][0] > qt:
+                force[i] = True
+                queries[i] = qq[0]
+                any_work = True
+                continue
+            if not fq:
+                continue
+            for t, emb in fq:
+                if len(bursts[i]) >= K or (qt is not None and t > qt):
+                    break
+                bursts[i].append((t, emb))
+            if not bursts[i]:
+                continue
+            active[i] = True
+            any_work = True
+            n_frames[i] = len(bursts[i])
+            if qt is not None:
+                if bursts[i][-1][0] >= qt:
+                    qae_ge[i] = True
+                elif (len(fq) > len(bursts[i])
+                      and fq[len(bursts[i])][0] > qt):
+                    qae_after[i] = True
+                if qae_ge[i] or qae_after[i]:
+                    queries[i] = qq[0]
+        if not any_work:
+            return None
+
+        for i in range(N):
+            if queries[i] is None:
+                continue
+            prompt = list(self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": queries[i][1]}],
+                tokenize=True, add_stream_query_prompt=True,
+                add_generation_prompt=True))
+            if len(prompt) > PROMPT_BUCKET:
+                return "fallback"
+            q_ids[i, PROMPT_BUCKET - len(prompt):] = prompt
+            q_nv[i] = len(prompt)
+
+        itv = 1 if self.cfg.frame_token_interval_id is not None else 0
+        budget = (TEXT_BUCKET + K * self.fnt + (K - 1) * itv
+                  + R_TICK * (PROMPT_BUCKET + self.max_new))
+        over = [i for i in range(N) if (active[i] or force[i])
+                and int(self._host_offsets[i]) + budget > self.kv_capacity]
+        if over and self.stream_window is not None:
+            self.cache = self._compact_jit(
+                self.cache, jnp.asarray(self.stream_window, jnp.int32))
+            self._host_offsets = np.minimum(self._host_offsets,
+                                            self.stream_window)
+            over = [i for i in over if int(self._host_offsets[i]) + budget
+                    > self.kv_capacity]
+        if over:
+            return "fallback"
+
+        gen = self._gen_prompt_ids
+        g_ids = np.zeros((N, PROMPT_BUCKET), np.int32)
+        g_ids[:, PROMPT_BUCKET - len(gen):] = gen
+        g_nv = np.full((N,), len(gen), np.int32)
+
+        text_ids = np.zeros((N, TEXT_BUCKET), np.int32)
+        n_text = np.zeros((N,), np.int32)
+        for i in range(N):
+            if not active[i]:
+                continue
+            pre = self.prepends[i][-TEXT_BUCKET:]
+            if pre:
+                text_ids[i, TEXT_BUCKET - len(pre):] = pre
+            n_text[i] = len(pre)
+            self.prepends[i] = []
+        return {
+            "active": active, "force": force, "qae_ge": qae_ge,
+            "qae_after": qae_after, "n_frames": n_frames,
+            "bursts": bursts, "queries": queries, "q_ids": q_ids,
+            "q_nv": q_nv, "g_ids": g_ids, "g_nv": g_nv,
+            "text_ids": text_ids, "n_text": n_text, "budget": budget,
+        }
+
+    def _dev_cached(self, key, build, lru_cap: int = 64):
+        """Small keyed device-constant cache (the tunnel makes every
+        jnp.asarray a ~10-26 ms host->device upload; prompts and the gen
+        operands repeat across ticks)."""
+        cache = self._dev_cache
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= lru_cap:
+                cache.pop(next(iter(cache)))
+            hit = cache[key] = build()
+        else:
+            cache[key] = cache.pop(key)  # LRU refresh
+        return hit
+
+    def _dispatch_tick(self, coll, text_ids, n_text):
+        K = self.chunk_frames
+        frames = self._gather_chunks(coll["bursts"], coll["active"], K)
+        frames = self._pad_frames(frames)
+        q_ids, q_nv = self._dev_cached(
+            ("q", coll["q_ids"].tobytes()),
+            lambda: (jnp.asarray(coll["q_ids"]), jnp.asarray(coll["q_nv"])))
+        g_ids, g_nv = self._dev_cached(
+            "g", lambda: (jnp.asarray(coll["g_ids"]),
+                          jnp.asarray(coll["g_nv"])))
+        meta = np.stack([
+            coll["n_frames"].astype(np.int32),
+            coll["active"].astype(np.int32),
+            coll["qae_ge"].astype(np.int32),
+            coll["qae_after"].astype(np.int32),
+            coll["force"].astype(np.int32)], axis=1)
+        return self._tick(
+            self.params, self.cache, text_ids, n_text, frames,
+            jnp.asarray(meta), q_ids, q_nv, g_ids, g_nv)
+
+    def _absorb_tick(self, packed: np.ndarray, coll,
+                     frames_popped: bool) -> Dict[int, int]:
+        """Digest one fused-tick readback: queues, host mirrors,
+        transcripts. Returns {stream: consumed} for streams that
+        under-consumed (stop_fire / deferred query) — callers re-queue or
+        roll back. ``frames_popped``: pipelined fill already popped the
+        burst frames (speculative full consumption)."""
+        N, TB, R = self.N, TEXT_BUCKET, R_TICK
+        max_new = self.max_new
+        short: Dict[int, int] = {}
+        stop_fire = np.zeros((N,), bool)
+        for i in range(N):
+            if not (coll["active"][i] or coll["force"][i]):
+                continue
+            row = packed[i]
+            consumed = int(row[0])
+            self._host_offsets[i] = int(row[1])
+            pre_n = int(row[2])
+            self.prepends[i] = ([int(v) for v in row[3 + TB - pre_n:3 + TB]]
+                                if pre_n else [])
+            n_resp = int(row[3 + TB])
+            stop_fire[i] = bool(row[4 + TB])
+            answered = bool(row[5 + TB])
+            okind = row[6 + TB:6 + TB + R]
+            ofidx = row[6 + TB + R:6 + TB + 2 * R]
+            olen = row[6 + TB + 2 * R:6 + TB + 3 * R]
+            oids = row[6 + TB + 3 * R:].reshape(R, max_new)
+            if not frames_popped:
+                for _ in range(consumed):
+                    self.frame_queues[i].popleft()
+            times = [t for t, _ in coll["bursts"][i]]
+            for r in range(n_resp):
+                toks = oids[r, :int(olen[r])].astype(np.int32)
+                resp = self.tokenizer.decode(toks, skip_special_tokens=True)
+                if okind[r]:
+                    qt, qs = coll["queries"][i]
+                    entry = (f"(Video Time = {qt}s) User: {qs}",
+                             f"(Video Time = {qt}s) Assistant:{resp}")
+                else:
+                    t = times[int(ofidx[r])]
+                    entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
+                self._resp_out[i].append(entry)
+                self.transcripts[i].append(entry)
+            if coll["queries"][i] is not None and answered \
+                    and not frames_popped:
+                # blocking driver only peeks queries at collect; an
+                # answered one is consumed here. The pipelined fill pops
+                # eagerly; unanswered ones re-queue in _pipe_resolve AFTER
+                # the newer-dispatch rollback (FIFO order).
+                self.query_queues[i].popleft()
+            if consumed < int(coll["n_frames"][i]) or stop_fire[i]:
+                short[i] = consumed
+        if stop_fire.any() and not frames_popped:
+            # blocking driver: no newer dispatches in flight, respond now.
+            # The pipelined resolver defers this until AFTER the rollback
+            # rewinds the ring offsets (else the fallback would append at
+            # the speculatively-advanced offsets).
+            self._fallback_respond(stop_fire, coll, packed)
+        return short, stop_fire
+
+    def _fallback_respond(self, mask: np.ndarray, coll,
+                          packed: np.ndarray):
+        """Host-path gen response for streams whose fused tick ran out of
+        response slots mid-fire (stop_fire): the fire consumed through its
+        frame; finish its response with the standalone respond dispatch."""
+        N = self.N
+        gen = self._gen_prompt_ids
+        P = PROMPT_BUCKET
+        ids = np.zeros((N, P), np.int32)
+        nv = np.zeros((N,), np.int32)
+        for i in range(N):
+            if mask[i]:
+                ids[i, P - len(gen):] = gen
+                nv[i] = len(gen)
+        rp, self.cache = self._respond(
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
+            jnp.asarray(mask))
+        rp = np.asarray(rp)
+        for i in range(N):
+            if not mask[i]:
+                continue
+            lengths = int(rp[i, 0])
+            self._host_offsets[i] = int(rp[i, 1])
+            toks = rp[i, 2:2 + lengths].astype(np.int32)
+            if toks.size and toks[-1] == self.cfg.eos_token_id:
+                self.prepends[i] = [int(toks[-1])] + self._stream_prompt_ids
+            elif toks.size:
+                self.prepends[i] = [int(toks[-1])]
+            consumed = int(packed[i][0])
+            t = [tt for tt, _ in coll["bursts"][i]][consumed - 1]
+            resp = self.tokenizer.decode(toks, skip_special_tokens=True)
+            entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
+            self._resp_out[i].append(entry)
+            self.transcripts[i].append(entry)
+
+    # ------------------------------------------------------ pipelined mode
+    def _step_pipe(self) -> List[Optional[Tuple[Optional[str], str]]]:
+        self._prefill_starts()
+        while len(self._pipe) >= self.pipeline_depth:
+            self._pipe_resolve()
+        blocked = self._pipe_fill()
+        if blocked:
+            # resolve in-flight work, then run one blocking tick so
+            # progress is guaranteed even against a tight ring
+            while self._pipe:
+                self._pipe_resolve()
+            self._carry = None
+            coll = self._collect_tick()
+            if coll == "fallback":
+                return self._step_unfused()
+            if coll is not None:
+                self.cache, packed, _pt, _pn = self._dispatch_tick(
+                    coll, jnp.asarray(coll["text_ids"]),
+                    jnp.asarray(coll["n_text"]))
+                self._absorb_tick(np.asarray(packed), coll,
+                                  frames_popped=False)
+        elif self._pipe and not any(self.frame_queues[i]
+                                    for i in range(self.N)):
+            # idle input: resolve one so responses keep surfacing
+            self._pipe_resolve()
+        return self._drain_out()
+
+    def _pipe_fill(self) -> bool:
+        """Dispatch collected ticks up to the pipeline depth, chaining the
+        device-resident prepend; pops frames/queries eagerly (full
+        consumption is the speculation). Returns True when the capacity
+        guard blocked a dispatch."""
+        while len(self._pipe) < self.pipeline_depth:
+            coll = self._collect_tick()
+            if coll is None:
+                return False
+            if coll == "fallback":
+                return True
+            inflight = sum(e["coll"]["budget"] for e in self._pipe)
+            worst = int(self._host_offsets.max()) + inflight \
+                + coll["budget"]
+            if worst > self.kv_capacity:
+                return True
+            if self._pipe and self._carry is not None:
+                text_ids, n_text = self._carry
+            else:
+                text_ids = jnp.asarray(coll["text_ids"])
+                n_text = jnp.asarray(coll["n_text"])
+            self.cache, packed, pre_t, pre_n = self._dispatch_tick(
+                coll, text_ids, n_text)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            self._carry = (pre_t, pre_n)
+            for i in range(self.N):
+                for _ in range(int(coll["n_frames"][i])):
+                    self.frame_queues[i].popleft()
+                if coll["queries"][i] is not None:
+                    self.query_queues[i].popleft()
+            self._pipe.append({"coll": coll, "packed": packed})
+        return False
+
+    def _pipe_resolve(self):
+        """Resolve the oldest in-flight tick. On under-consumption
+        (stop_fire) or a deferred query, newer dispatches ingested the
+        wrong continuation: re-queue their inputs, rewind the ring offsets
+        to this tick's resolved values, and break the prepend chain."""
+        e = self._pipe.popleft()
+        coll = e["coll"]
+        packed = np.asarray(e["packed"])
+        short, stop_fire = self._absorb_tick(packed, coll,
+                                             frames_popped=True)
+        deferred_q = [
+            i for i in range(self.N)
+            if coll["queries"][i] is not None
+            and not bool(packed[i][5 + TEXT_BUCKET])]
+        if not short and not deferred_q:
+            return
+        # roll back every newer dispatch (reverse order)
+        while self._pipe:
+            newer = self._pipe.pop()
+            nc = newer["coll"]
+            for i in range(self.N):
+                for t, emb in reversed(nc["bursts"][i]):
+                    self.frame_queues[i].appendleft((t, emb))
+                if nc["queries"][i] is not None:
+                    self.query_queues[i].appendleft(nc["queries"][i])
+        self._carry = None
+        # re-queue this tick's unconsumed frames and unanswered queries
+        # (AFTER the newer rollback so queue order stays chronological)
+        for i, consumed in short.items():
+            for t, emb in reversed(coll["bursts"][i][consumed:]):
+                self.frame_queues[i].appendleft((t, emb))
+        for i in deferred_q:
+            self.query_queues[i].appendleft(coll["queries"][i])
+        # rewind device offsets to the resolved values (stale KV beyond
+        # the offset is never attended)
+        self.cache = self._set_offsets(
+            self.cache, jnp.asarray(self._host_offsets.astype(np.int32)))
+        if stop_fire.any():
+            # deferred host fallback: append at the REWOUND offsets
+            self._fallback_respond(stop_fire, coll, packed)
+
+    def flush(self) -> List[List[Tuple[Optional[str], str]]]:
+        """Resolve every in-flight pipelined tick and drain all queued
+        responses; returns the per-stream drained entries."""
+        while self._pipe:
+            self._pipe_resolve()
+        self._carry = None
+        out = [list(self._resp_out[i]) for i in range(self.N)]
+        for i in range(self.N):
+            self._resp_out[i].clear()
+        return out
+
     def pending(self) -> bool:
-        return any(q for q in self.frame_queues) or any(
-            q for q in self.query_queues)
+        return (any(q for q in self.frame_queues)
+                or any(q for q in self.query_queues)
+                or any(q for q in self._resp_out)
+                or bool(self._pipe))
