@@ -65,6 +65,10 @@ class LiveTrainingArguments:
     # parallelism (replaces DeepSpeed JSON; SURVEY.md §2.3)
     mesh_model_axis: int = 1
     sharding_policy: str = "fsdp_tp"
+    # ZeRO-2 CPU-offload analog (reference configs/deepspeed/
+    # zero2offload.json): Adam moments persist in pinned host memory
+    # between steps (train/offload.py)
+    offload_optimizer: bool = False
     # proxy model for smoke runs ('': use llm_pretrained weights)
     model_size: str = ""
 

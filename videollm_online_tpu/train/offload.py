@@ -39,10 +39,14 @@ from . import step as step_mod
 
 
 def _with_kind(tree: Any, kind: str) -> Any:
-    """device_put every leaf onto its CURRENT sharding with a different
-    memory kind (layout/spec preserved — only the memory space moves)."""
+    """device_put every non-scalar leaf onto its CURRENT sharding with a
+    different memory kind (layout/spec preserved — only the memory space
+    moves). Scalars (optax step counters) stay put: they are free, and
+    pinning an eagerly-initialized uncommitted scalar would COMMIT it to
+    one device, clashing with mesh-committed moments in the same jit."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, x.sharding.with_memory_kind(kind)),
+        lambda x: x if getattr(x, "ndim", 0) == 0
+        else jax.device_put(x, x.sharding.with_memory_kind(kind)),
         tree)
 
 

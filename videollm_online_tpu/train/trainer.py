@@ -65,9 +65,19 @@ class LiveTrainer:
             params = step_mod.shard_params(params, self.mesh,
                                            args.sharding_policy)
         self.state, self.frozen = step_mod.init_train_state(params, self.tx)
-        self._step = step_mod.make_jitted_train_step(
-            cfg, self.tx, accum_steps=args.gradient_accumulation_steps,
-            attn_impl=attn_impl)
+        if getattr(args, "offload_optimizer", False):
+            # ZeRO-2 CPU-offload analog: moments live in pinned host
+            # memory between steps (train/offload.py)
+            from . import offload
+            self.state = offload.offload_state(self.state)
+            self._step = offload.make_offload_train_step(
+                cfg, self.tx,
+                accum_steps=args.gradient_accumulation_steps,
+                attn_impl=attn_impl)
+        else:
+            self._step = step_mod.make_jitted_train_step(
+                cfg, self.tx, accum_steps=args.gradient_accumulation_steps,
+                attn_impl=attn_impl)
 
     # ------------------------------------------------------------- training
     def _microbatch_stack(self, batches: List[dict]) -> dict:
