@@ -18,6 +18,7 @@ Env knobs:
                  the raw chunked step, 'frame' the one-frame-per-dispatch
                  kernel path)
   BENCH_QUANT  = 1 | int8 | int4       (weight-only quant; 8b defaults int8)
+  BENCH_KV_QUANT = int8                (int8 KV cache, engine mode)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
                  itself from BENCH_FRAMES if larger)
@@ -175,8 +176,10 @@ def main():
                        (4 + cfg.frame_num_tokens) * (n_frames + 8)
                        + (n_frames // max(query_every, 1) + 2)
                        * (256 + cfg.max_response_tokens) + 2048)
-        engine = LiveInferEngine(params, tok, cfg, kv_capacity=capacity,
-                                 vision_params=vision_params)
+        engine = LiveInferEngine(
+            params, tok, cfg, kv_capacity=capacity,
+            vision_params=vision_params,
+            kv_quant=os.environ.get("BENCH_KV_QUANT", "") or None)
 
         # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
         # catch-up/throughput profile: one host sync per chunked dispatch);

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--trace_dir", default="")
     p.add_argument("--quantize", default="", choices=["", "int8", "int4"],
                    help="weight-only quant (8b defaults to int8)")
+    p.add_argument("--kv_quant", default="", choices=["", "int8"],
+                   help="int8 KV cache (in-kernel dequant; halves KV bytes)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -92,7 +94,8 @@ def main():
       if not args.only_ms:
         progress("compiling frame step...")
         # 1. per-frame ingest latency, synced per frame (worst case)
-        cache = llama.init_kv_cache(cfg.llama, 1, args.ctx)
+        cache = llama.init_kv_cache(cfg.llama, 1, args.ctx,
+                                    quant=args.kv_quant or None)
         fe = jax.random.normal(key, (fnt, D), jnp.bfloat16)
         iid = jnp.asarray(cfg.frame_token_interval_id, jnp.int32)
         cache, nid = frame_step(params, cache, fe, iid)
@@ -153,7 +156,8 @@ def main():
                                    num_streams=args.streams,
                                    kv_capacity=ms_ctx,
                                    fused=args.ms_mode != "unfused",
-                                   pipelined=args.ms_mode == "pipelined")
+                                   pipelined=args.ms_mode == "pipelined",
+                                   kv_quant=args.kv_quant or None)
             feats = np.asarray(jax.random.normal(
                 rngf, (per_stream, fnt, cfg.vision_hidden_size),
                 jnp.float32))

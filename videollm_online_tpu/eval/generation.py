@@ -78,9 +78,11 @@ def _beam_prefill(params, cfg, scaling, embeds, num_valid, cache):
                    donate_argnames=("cache",))
 def _beam_step(params, cfg, scaling, tokens, cache, parents):
     # reorder the ring along the beam axis, then append one token
-    cache = llama.KVCache(k=cache.k[:, parents], v=cache.v[:, parents],
-                          offset=cache.offset[parents],
-                          pos_base=cache.pos_base[parents])
+    cache = llama.KVCache(
+        k=cache.k[:, parents], v=cache.v[:, parents],
+        offset=cache.offset[parents], pos_base=cache.pos_base[parents],
+        k_scale=None if cache.k_scale is None else cache.k_scale[:, parents],
+        v_scale=None if cache.v_scale is None else cache.v_scale[:, parents])
     embeds = llama.embed_tokens(params["llama"], tokens[:, None], cfg.llama)
     logits, cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=embeds,

@@ -208,9 +208,12 @@ class StreamEvaluator:
         append_ids = np.tile(unit, to_append)[None]
         append_frames = np.asarray(frames)[start_frame:start_frame + to_append]
         # copy so later turns still see the original ring contents
-        roll_cache = llama.KVCache(k=jnp.copy(cache.k), v=jnp.copy(cache.v),
-                                   offset=jnp.full_like(cache.offset, trim_to),
-                                   pos_base=cache.pos_base)
+        roll_cache = llama.KVCache(
+            k=jnp.copy(cache.k), v=jnp.copy(cache.v),
+            offset=jnp.full_like(cache.offset, trim_to),
+            pos_base=cache.pos_base,
+            k_scale=None if cache.k_scale is None else jnp.copy(cache.k_scale),
+            v_scale=None if cache.v_scale is None else jnp.copy(cache.v_scale))
         argmax, argmax_excl, p_int = self._roll(
             self.params, roll_cache, jnp.asarray(append_ids),
             jnp.asarray(append_frames))

@@ -162,27 +162,61 @@ class KVCache(NamedTuple):
     Appends pack valid tokens first; bucket padding is written past the end
     and overwritten by the next append (never attended: the causal mask is
     ``slot <= q_position`` and padding slots sit after every valid query).
-    """
+
+    Quantized (int8) mode: k/v hold int8 codes and ``k_scale``/``v_scale``
+    (L, B, Hkv, C) fp32 hold per-token-per-head symmetric scales
+    (``x ≈ code * scale``). Appends quantize at write; attention kernels
+    dequantize at read (in-kernel on the Pallas serving path) — KV HBM
+    traffic and cache memory halve vs bf16. The reference has no KV-cache
+    quantization at all (its torch cache grows in model dtype,
+    demo/inference.py:64-68); this is a TPU-serving capacity/bandwidth
+    feature. None scales = unquantized (the default)."""
     k: jax.Array
     v: jax.Array
     offset: jax.Array
     pos_base: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
-                  dtype=None) -> KVCache:
+                  dtype=None, quant: Optional[str] = None) -> KVCache:
     dtype = dtype or jnp.dtype(cfg.dtype)
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, capacity, cfg.head_dim)
+    if quant is not None:
+        assert quant == "int8", f"unsupported kv quant {quant!r}"
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            offset=jnp.zeros((batch,), jnp.int32),
+            pos_base=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         offset=jnp.zeros((batch,), jnp.int32),
         pos_base=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(head, token) symmetric int8: x (..., hd) -> codes int8 (..., hd)
+    + scale fp32 (...,) with ``x ≈ codes * scale``."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-12)
+    codes = jnp.clip(jnp.round(xf / safe[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale
 
 
 def compact_kv_cache(cache: KVCache, keep: jax.Array) -> KVCache:
@@ -197,12 +231,15 @@ def compact_kv_cache(cache: KVCache, keep: jax.Array) -> KVCache:
     keep = jnp.minimum(keep, cache.offset)
     shift = cache.offset - keep  # slots dropped from the front
 
-    def roll_stream(kb, s):  # kb: (L, Hkv, C, hd)
+    def roll_stream(kb, s):  # kb: (L, Hkv, C, hd) or (L, Hkv, C) scales
         return jnp.roll(kb, -s, axis=2)
 
-    k = jax.vmap(roll_stream, in_axes=(1, 0), out_axes=1)(cache.k, shift)
-    v = jax.vmap(roll_stream, in_axes=(1, 0), out_axes=1)(cache.v, shift)
-    return KVCache(k=k, v=v, offset=keep, pos_base=cache.pos_base + shift)
+    roll = jax.vmap(roll_stream, in_axes=(1, 0), out_axes=1)
+    return KVCache(
+        k=roll(cache.k, shift), v=roll(cache.v, shift),
+        offset=keep, pos_base=cache.pos_base + shift,
+        k_scale=None if cache.k_scale is None else roll(cache.k_scale, shift),
+        v_scale=None if cache.v_scale is None else roll(cache.v_scale, shift))
 
 
 def trim_kv_cache(cache: KVCache, new_offset: jax.Array) -> KVCache:
@@ -215,7 +252,8 @@ def trim_kv_cache(cache: KVCache, new_offset: jax.Array) -> KVCache:
 
 
 def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
-               sliding_window: Optional[int] = None):
+               sliding_window: Optional[int] = None,
+               k_scale=None, v_scale=None):
     """Masked multi-head attention (XLA reference path).
 
     q: (B, Hq, S, hd); k/v: (B, Hkv, C, hd)
@@ -223,9 +261,15 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
     kv_valid_upto: unused placeholder for future per-slot masks.
     mask: slot j attends iff j <= q_pos (and j > q_pos - sliding_window for
     Mistral-style windowed attention).
+    k_scale/v_scale: (B, Hkv, C) fp32 — int8 KV codes are dequantized here
+    (the quantized-cache reference path; the Pallas serving kernel instead
+    dequantizes in-kernel so only int8 bytes cross HBM).
     """
     B, Hq, S, hd = q.shape
     C = k.shape[2]
+    if k_scale is not None:
+        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
     if num_groups > 1:
         k = jnp.repeat(k, num_groups, axis=1)
         v = jnp.repeat(v, num_groups, axis=1)
@@ -247,14 +291,15 @@ def _attention(q, k, v, q_pos, kv_valid_upto, *, num_groups,
 def _windowed(impl, window: int):
     """Bind a sliding window into an attention impl, preserving its
     cache-resident ``.layered`` variant if present."""
-    def wrapped(q, k, v, q_pos, kv_valid_upto, *, num_groups):
+    def wrapped(q, k, v, q_pos, kv_valid_upto, *, num_groups, **kw):
         return impl(q, k, v, q_pos, kv_valid_upto, num_groups=num_groups,
-                    sliding_window=window)
+                    sliding_window=window, **kw)
     layered = getattr(impl, "layered", None)
     if layered is not None:
-        def wrapped_layered(q, k_all, v_all, q_pos, layer, *, num_groups):
+        def wrapped_layered(q, k_all, v_all, q_pos, layer, *, num_groups,
+                            **kw):
             return layered(q, k_all, v_all, q_pos, layer,
-                           num_groups=num_groups, sliding_window=window)
+                           num_groups=num_groups, sliding_window=window, **kw)
         wrapped.layered = wrapped_layered
     return wrapped
 
@@ -302,26 +347,47 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
     k = apply_rope(k, cos, sin)
 
     if kv_ctx is not None:
-        k_all, v_all, offset, l_idx = kv_ctx  # (L, B, Hkv, C, hd), (B,), ()
+        # (L, B, Hkv, C, hd) x2, (L, B, Hkv, C) fp32 scales x2 (or None
+        # when the cache is unquantized), (B,), ()
+        k_all, v_all, ks_all, vs_all, offset, l_idx = kv_ctx
+        quantized = ks_all is not None
+        if quantized:
+            k_store, k_sc = quantize_kv(k)   # (B, Hkv, S, hd) i8 / (B,Hkv,S)
+            v_store, v_sc = quantize_kv(v)
+        else:
+            k_store, v_store = k, v
         # per-batch in-place append at each stream's offset (B is static
         # and small; unrolled scalar-start updates alias the scan carry)
         for b in range(B):
             k_all = jax.lax.dynamic_update_slice(
-                k_all, k[b][None, None], (l_idx, b, 0, offset[b], 0))
+                k_all, k_store[b][None, None], (l_idx, b, 0, offset[b], 0))
             v_all = jax.lax.dynamic_update_slice(
-                v_all, v[b][None, None], (l_idx, b, 0, offset[b], 0))
+                v_all, v_store[b][None, None], (l_idx, b, 0, offset[b], 0))
+            if quantized:
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, k_sc[b][None, None], (l_idx, b, 0, offset[b]))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, v_sc[b][None, None], (l_idx, b, 0, offset[b]))
+        scale_kw = ({"k_scale": ks_all, "v_scale": vs_all} if quantized
+                    else {})
         layered = getattr(attn_impl, "layered", None)
         if layered is not None:
             attn_out = layered(q, k_all, v_all, q_pos, l_idx,
-                               num_groups=Hq // Hkv)
+                               num_groups=Hq // Hkv, **scale_kw)
         else:
             k_l = jax.lax.dynamic_index_in_dim(k_all, l_idx, 0,
                                                keepdims=False)
             v_l = jax.lax.dynamic_index_in_dim(v_all, l_idx, 0,
                                                keepdims=False)
+            if quantized:
+                scale_kw = {
+                    "k_scale": jax.lax.dynamic_index_in_dim(
+                        ks_all, l_idx, 0, keepdims=False),
+                    "v_scale": jax.lax.dynamic_index_in_dim(
+                        vs_all, l_idx, 0, keepdims=False)}
             attn_out = attn_impl(q, k_l, v_l, q_pos, None,
-                                 num_groups=Hq // Hkv)
-        new_kv = (k_all, v_all)
+                                 num_groups=Hq // Hkv, **scale_kw)
+        new_kv = (k_all, v_all, ks_all, vs_all)
     else:
         attn_out = attn_impl(q, k, v, q_pos, None, num_groups=Hq // Hkv)
         new_kv = None
@@ -410,22 +476,23 @@ def forward(
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
         def body_kv(carry, xs):
-            h, k_all, v_all = carry
+            h, k_all, v_all, ks_all, vs_all = carry
             layer_params, layer_lora_x, rng_l, l_idx = xs
-            h, (k_all, v_all) = _layer(
+            h, (k_all, v_all, ks_all, vs_all) = _layer(
                 h, layer_params, layer_lora_x, cos, sin, attn_pos,
-                (k_all, v_all, kv_cache.offset, l_idx), cfg, lora_scaling,
-                attn_impl,
+                (k_all, v_all, ks_all, vs_all, kv_cache.offset, l_idx),
+                cfg, lora_scaling, attn_impl,
                 layer_rng=rng_l if use_dropout else None,
                 lora_dropout=lora_dropout if use_dropout else 0.0)
-            return (h, k_all, v_all), None
+            return (h, k_all, v_all, ks_all, vs_all), None
 
         if remat:
             body_kv = jax.checkpoint(body_kv)
-        (h, new_k, new_v), _ = jax.lax.scan(
-            body_kv, (h, kv_cache.k, kv_cache.v),
+        (h, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+            body_kv,
+            (h, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
             (params["layers"], layer_lora, layer_rngs, layer_ids))
-        new_kvs = (new_k, new_v)
+        new_kvs = (new_k, new_v, new_ks, new_vs)
     else:
         def body(h, xs):
             layer_params, layer_lora_x, rng_l = xs
@@ -464,7 +531,8 @@ def forward(
         nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
         new_cache = KVCache(k=new_kvs[0], v=new_kvs[1],
                             offset=kv_cache.offset + nv,
-                            pos_base=kv_cache.pos_base)
+                            pos_base=kv_cache.pos_base,
+                            k_scale=new_kvs[2], v_scale=new_kvs[3])
     return logits, new_cache
 
 

@@ -27,9 +27,14 @@ DEFAULT_BLOCK_K = 512  # v5e: 512 halves grid-step overhead vs 256 (0.67 vs 1.21
 NEG_INF = -1e30
 
 
-def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, block_k, rows, n_batch, window=None):
+def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, *rest,
+            block_k, rows, n_batch, window=None, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
+    h = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -47,9 +52,17 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         q = q_ref[0, 0]                              # (rows, d)
         k = k_ref[0, 0]                              # (bk, d)
+        if quantized:
+            # int8 codes -> bf16 RAW (scales applied to the logits/probs, a
+            # (rows, bk)/(1, bk) elementwise — never a (bk, d) dequant): the
+            # MXU operand stays bf16, HBM traffic stays int8
+            k = k.astype(jnp.float32).astype(q.dtype)
         scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if quantized:
+            # this head's per-slot scales: (1, bk) row of the (Hkv, bk) block
+            s = s * ks_ref[0, pl.ds(h, 1), :]
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
         qpos = qpos_ref[0, 0].astype(jnp.int32)[:, None]  # (rows, 1)
         mask = (ki * block_k + cols) <= qpos
@@ -65,8 +78,14 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
             l_ref.shape)
+        if quantized:
+            pv = (p * vs_ref[0, pl.ds(h, 1), :]).astype(q_ref.dtype)
+            v = v_ref[0, 0].astype(jnp.float32).astype(q_ref.dtype)
+        else:
+            pv = p.astype(v_ref.dtype)
+            v = v_ref[0, 0]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
@@ -78,16 +97,22 @@ def _kernel(nb_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
-                          window: int = None, interpret: bool = None):
+                          window: int = None, interpret: bool = None,
+                          k_scale=None, v_scale=None):
     """q: (B, Hq, S, d); k/v: (B, Hkv, C, d); q_pos: (B, S) absolute
     positions (mask: ring slot j visible iff j <= q_pos, and with ``window``
     additionally j > q_pos - window). Dead blocks on either side of the band
     issue no HBM DMA. Returns (B, Hq, S, d).
+
+    int8 KV: pass k/v as int8 codes + k_scale/v_scale (B, Hkv, C) fp32; the
+    kernel dequantizes in-VMEM (scales fold into logits/probs rows, the MXU
+    operands are raw-code bf16) so HBM reads stay int8 — KV read bytes halve.
     """
     B, Hq, S, d = q.shape
     _, Hkv, C, _ = k.shape
     G = Hq // Hkv
     rows = G * S
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
@@ -109,15 +134,28 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
     def kv_map(b, h, ki, meta):
         return (b, h, jnp.clip(ki, meta[B + b], meta[b] - 1), 0)
 
+    def sc_map(b, h, ki, meta):
+        # full-Hkv sublane block (Mosaic: last-two block dims must be
+        # 8/128-divisible or equal to the array dims — Hkv can be 2/8);
+        # the kernel selects its head's row
+        return (b, 0, jnp.clip(ki, meta[B + b], meta[b] - 1))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
+        pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+    ]
+    operands = [meta, qpos_rows, qg, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, Hkv, block_k), sc_map),
+                     pl.BlockSpec((1, Hkv, block_k), sc_map)]
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, pl.cdiv(C, block_k)),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
-            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, d), kv_map),
-            pl.BlockSpec((1, 1, block_k, d), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, d),
                                lambda b, h, ki, meta: (b, h, 0, 0)),
         scratch_shapes=[
@@ -128,18 +166,19 @@ def ring_decode_attention(q, k, v, q_pos, *, block_k: int = DEFAULT_BLOCK_K,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, rows=rows, n_batch=B,
-                          window=window),
+                          window=window, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
         interpret=interpret,
-    )(meta, qpos_rows, qg, k, v)
+    )(*operands)
     return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
 
 
 def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
                                   block_k: int = DEFAULT_BLOCK_K,
                                   window: int = None,
-                                  interpret: bool = None):
+                                  interpret: bool = None,
+                                  k_scale=None, v_scale=None):
     """Same as :func:`ring_decode_attention` but reads kv blocks DIRECTLY
     from the full stacked cache (L, B, Hkv, C, d) at a traced ``layer``
     index. Inside the decoder's layer scan this avoids materializing a
@@ -147,11 +186,14 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
     addressed layer, so HBM traffic is O(valid), not O(capacity).
 
     q: (B, Hq, S, d); q_pos: (B, S); layer: int32 scalar.
+    int8 KV: k_all/v_all int8 codes + k_scale/v_scale (L, B, Hkv, C) fp32
+    per-slot scales — dequantized in-kernel (see ring_decode_attention).
     """
     B, Hq, S, d = q.shape
     L, _, Hkv, C, _ = k_all.shape
     G = Hq // Hkv
     rows = G * S
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
@@ -174,15 +216,28 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
         return (meta[0], b, h,
                 jnp.clip(ki, meta[1 + B + b], meta[1 + b] - 1), 0)
 
+    def sc_map(b, h, ki, meta):
+        # full-Hkv sublane block (Mosaic block rules); head row selected
+        # in-kernel
+        return (meta[0], b, 0,
+                jnp.clip(ki, meta[1 + B + b], meta[1 + b] - 1))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
+        pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
+    ]
+    operands = [meta, qpos_rows, qg, k_all, v_all]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, Hkv, block_k), sc_map),
+                     pl.BlockSpec((1, 1, Hkv, block_k), sc_map)]
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, pl.cdiv(C, block_k)),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
-            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
-            pl.BlockSpec((1, 1, 1, block_k, d), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, d),
                                lambda b, h, ki, meta: (b, h, 0, 0)),
         scratch_shapes=[
@@ -193,18 +248,22 @@ def ring_decode_attention_layered(q, k_all, v_all, q_pos, layer, *,
     )
     out = pl.pallas_call(
         functools.partial(_kernel_layered, block_k=block_k, rows=rows,
-                          n_batch=B, window=window),
+                          n_batch=B, window=window, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
         interpret=interpret,
-    )(meta, qpos_rows, qg, k_all, v_all)
+    )(*operands)
     return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
 
 
-def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
-                    acc_ref, m_ref, l_ref, *, block_k, rows, n_batch,
-                    window=None):
+def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, *rest,
+                    block_k, rows, n_batch, window=None, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
+    h = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -222,9 +281,13 @@ def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         q = q_ref[0, 0]                              # (rows, d)
         k = k_ref[0, 0, 0]                           # (bk, d)
+        if quantized:
+            k = k.astype(jnp.float32).astype(q.dtype)
         scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if quantized:
+            s = s * ks_ref[0, 0, pl.ds(h, 1), :]
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
         qpos = qpos_ref[0, 0].astype(jnp.int32)[:, None]
         mask = (ki * block_k + cols) <= qpos
@@ -239,8 +302,14 @@ def _kernel_layered(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
             l_ref.shape)
+        if quantized:
+            pv = (p * vs_ref[0, 0, pl.ds(h, 1), :]).astype(q_ref.dtype)
+            v = v_ref[0, 0, 0].astype(jnp.float32).astype(q_ref.dtype)
+        else:
+            pv = p.astype(v_ref.dtype)
+            v = v_ref[0, 0, 0]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0, 0], (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 

@@ -100,7 +100,8 @@ def build_engine(args):
     return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
                            kv_capacity=args.kv_capacity,
                            speculative=getattr(args, "speculative", False),
-                           pipelined=getattr(args, "pipelined", False)), cfg
+                           pipelined=getattr(args, "pipelined", False),
+                           kv_quant=getattr(args, "kv_quant", "") or None), cfg
 
 
 def main(argv=None):
@@ -124,6 +125,10 @@ def main(argv=None):
                    help="ticks excluded from the FPS average (first-use jit "
                         "compiles dominate them)")
     p.add_argument("--kv_capacity", type=int, default=16384)
+    p.add_argument("--kv_quant", default="", choices=["", "int8"],
+                   help="int8 KV cache: halves KV memory (2x stream "
+                        "capacity) and attention KV HBM reads; slight "
+                        "quantization noise on transcripts")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="cli_history.json")
     p.add_argument("--speculative", action="store_true",

@@ -113,7 +113,15 @@ class LiveInferEngine:
         speculative: bool = False,
         multi_respond: bool = True,
         pipelined: bool = False,
+        kv_quant: Optional[str] = None,
     ):
+        # kv_quant="int8": per-token-per-head symmetric int8 KV cache —
+        # halves KV memory (2x stream capacity at a given kv_capacity) and
+        # halves attention's KV HBM reads; the Pallas decode kernels
+        # dequantize in-kernel. Transcripts may differ slightly from bf16
+        # (quantization noise on attention logits). None = bf16 (default).
+        assert kv_quant in (None, "int8"), kv_quant
+        self.kv_quant = kv_quant
         # pipelined: sustained-mode dispatch pipelining — burst i+1 is
         # dispatched BEFORE burst i's packed result is read, chained through
         # the device-resident prepend that ingest_stream returns (no host
@@ -797,7 +805,7 @@ class LiveInferEngine:
         self.num_video_frames = 0
         self.cache = llama.init_kv_cache(
             self.cfg.llama, batch=1, capacity=self.kv_capacity,
-            dtype=jnp.dtype(self.cfg.llama.dtype))
+            dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
         # host mirror of cache.offset[0]: guards consult it without a
         # device readback (every readback is a tunnel RTT); kept exact from
         # the packed results of each dispatch

@@ -66,11 +66,16 @@ class MultiStreamEngine:
                  chunk_frames: int = CHUNK_FRAMES,
                  stream_window: Optional[int] = None,
                  fused: bool = True, pipelined: bool = False,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 kv_quant: Optional[str] = None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
         # prepend before reading tick i (speculative full consumption,
         # rolled back on a response-slot overflow or deferred query)
+        # kv_quant="int8": int8 KV ring (see LiveInferEngine) — at batched
+        # capacity 8192 x N streams this halves the dominant HBM allocation
+        assert kv_quant in (None, "int8"), kv_quant
+        self.kv_quant = kv_quant
         self.fused = fused
         self.pipelined = pipelined
         self.pipeline_depth = max(1, pipeline_depth)
@@ -559,7 +564,7 @@ class MultiStreamEngine:
     def reset(self):
         self.cache = llama.init_kv_cache(
             self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
-            dtype=jnp.dtype(self.cfg.llama.dtype))
+            dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
         self.frame_queues = [collections.deque() for _ in range(self.N)]
         self.query_queues = [collections.deque() for _ in range(self.N)]
         self.prepends: List[List[int]] = [[] for _ in range(self.N)]
