@@ -1,0 +1,244 @@
+"""Dependency-free web demo: stdlib HTTP server + polling JS front-end.
+
+Parity target: the reference's gradio demo (demo/app.py — video element
+polled at wall-clock rate driving ``input_video_stream``, a chat box feeding
+``input_query_stream``, a threshold slider, demo/app.py:54-57). serve/app.py
+keeps the gradio construction for environments that have gradio; THIS module
+serves the identical interaction loop with zero dependencies (http.server +
+vanilla JS), so the web surface runs — and is testable end-to-end — in any
+image the framework itself runs in.
+
+Endpoints (all JSON):
+  GET  /            the single-page UI
+  POST /load        {"frames": N} synthetic demo stream, or {"path": ...}
+                    anything engine.load_video accepts
+  POST /query       {"text": str, "time": float} -> queued query
+  GET  /step        ?time=T[&threshold=X] -> advance the stream clock to T,
+                    drain the engine, return {"messages": [...], "time": T}
+  GET  /history     full transcript so far
+
+Engine calls are serialized with a lock (the engine is single-threaded
+state; the reference's gradio queue gives the same discipline).
+
+Run:  python -m videollm_online_tpu.serve.web --model_size tiny --port 8600
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>videollm-online-tpu</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 2rem; max-width: 60rem; }
+ #chat { border: 1px solid #ccc; border-radius: 6px; padding: 1rem;
+         height: 20rem; overflow-y: auto; background: #fafafa; }
+ .user { color: #0b5394; margin: .3rem 0; }
+ .assistant { color: #222; margin: .3rem 0 .8rem; }
+ .meta { color: #888; font-size: .85em; }
+ input[type=text] { width: 70%; padding: .4rem; }
+ button { padding: .4rem .8rem; }
+ .row { margin: .8rem 0; }
+</style></head><body>
+<h2>VideoLLM-online (TPU) — streaming video dialogue</h2>
+<div class="row">
+  <button id="start">Start demo stream</button>
+  <label> threshold <input id="thr" type="range" min="0" max="1"
+      step="0.005" value="__THRESHOLD__">
+      <span id="thrv">__THRESHOLD__</span></label>
+  <span class="meta">video time: <span id="clock">0.0</span>s</span>
+</div>
+<div id="chat"></div>
+<div class="row">
+  <input id="query" type="text" placeholder="ask anything (streamed)">
+  <button id="send">Send</button>
+</div>
+<script>
+const chat = document.getElementById("chat");
+let t0 = null, timer = null, shown = 0;
+function render(msgs) {
+  for (; shown < msgs.length; shown++) {
+    const m = msgs[shown];
+    const div = document.createElement("div");
+    div.className = m.role;
+    div.textContent = (m.role === "user" ? "You: " : "Assistant: ") + m.text;
+    chat.appendChild(div);
+  }
+  chat.scrollTop = chat.scrollHeight;
+}
+async function step() {
+  const t = (Date.now() - t0) / 1000;
+  document.getElementById("clock").textContent = t.toFixed(1);
+  const thr = document.getElementById("thr").value;
+  document.getElementById("thrv").textContent = thr;
+  const r = await fetch(`/step?time=${t}&threshold=${thr}`);
+  render((await r.json()).messages);
+}
+document.getElementById("start").onclick = async () => {
+  await fetch("/load", {method: "POST", body: JSON.stringify({frames: 600})});
+  chat.innerHTML = ""; shown = 0; t0 = Date.now();
+  if (timer) clearInterval(timer);
+  timer = setInterval(step, __POLL_MS__);
+};
+document.getElementById("send").onclick = async () => {
+  const q = document.getElementById("query");
+  const t = t0 ? (Date.now() - t0) / 1000 : 0;
+  await fetch("/query", {method: "POST",
+                         body: JSON.stringify({text: q.value, time: t})});
+  q.value = "";
+};
+</script></body></html>
+"""
+
+
+class WebDemo:
+    """Engine-facing state shared by the handler threads."""
+
+    def __init__(self, engine, frame_fps: float):
+        self.engine = engine
+        self.frame_fps = frame_fps
+        self.lock = threading.Lock()
+        self.messages: List[Dict[str, Any]] = []
+        self._loaded = False
+
+    # each op mirrors one gradio callback in serve/app.py
+    def load(self, spec: Dict[str, Any]) -> None:
+        with self.lock:
+            self.engine.reset()
+            if "path" in spec:
+                self.engine.load_video(spec["path"])
+            else:
+                n = int(spec.get("frames", 600))
+                cfg = self.engine.cfg
+                rng = np.random.RandomState(int(spec.get("seed", 0)))
+                feats = rng.randn(n, cfg.frame_num_tokens,
+                                  cfg.vision_hidden_size).astype(np.float32)
+                self.engine.load_video(feats)
+            self.messages = []
+            self._loaded = True
+
+    def query(self, text: str, video_time: float) -> None:
+        with self.lock:
+            self.engine.input_query_stream(text, video_time=video_time)
+
+    def step(self, video_time: float,
+             threshold: Optional[float] = None) -> List[Dict[str, Any]]:
+        with self.lock:
+            if not self._loaded:
+                return self.messages
+            if threshold is not None:
+                self.engine.set_threshold(threshold)
+            self.engine.input_video_stream(video_time)
+            while True:
+                q, r = self.engine()
+                if r is None:
+                    break
+                if q:
+                    self.messages.append({"role": "user", "text": q,
+                                          "time": video_time})
+                self.messages.append({"role": "assistant", "text": r,
+                                      "time": video_time})
+            return self.messages
+
+
+def make_handler(demo: WebDemo, poll_ms: int):
+    thr0 = demo.engine.cfg.frame_token_interval_threshold
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test runs
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                page = (PAGE.replace("__THRESHOLD__", f"{thr0:g}")
+                        .replace("__POLL_MS__", str(poll_ms)))
+                body = page.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/step":
+                qs = parse_qs(url.query)
+                t = float(qs.get("time", ["0"])[0])
+                thr = qs.get("threshold")
+                msgs = demo.step(t, float(thr[0]) if thr else None)
+                self._json({"messages": msgs, "time": t})
+            elif url.path == "/history":
+                self._json({"messages": demo.messages})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._json({"error": "bad json"}, 400)
+            if self.path == "/load":
+                demo.load(payload)
+                self._json({"ok": True})
+            elif self.path == "/query":
+                demo.query(str(payload.get("text", "")),
+                           float(payload.get("time", 0.0)))
+                self._json({"ok": True})
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve(engine, frame_fps: float, port: int = 8600, poll_ms: int = 0):
+    """Build the server (port 0 = ephemeral). Caller starts/stops it."""
+    demo = WebDemo(engine, frame_fps)
+    poll_ms = poll_ms or max(int(1000 * 0.5 / frame_fps), 50)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port),
+                                make_handler(demo, poll_ms))
+    return httpd, demo
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--model_size", default="tiny")
+    p.add_argument("--kv_capacity", type=int, default=16384)
+    p.add_argument("--kv_quant", default="", choices=["", "int8"])
+    p.add_argument("--port", type=int, default=8600)
+    args = p.parse_args(argv)
+    from .cli import build_engine
+
+    class _A:  # reuse the CLI builder's arg surface
+        checkpoint = args.checkpoint
+        vision_checkpoint = ""
+        tokenizer = ""
+        model_size = args.model_size
+        dtype = "bfloat16"
+        with_vision = False
+        kv_capacity = args.kv_capacity
+        kv_quant = args.kv_quant
+        seed = 0
+
+    engine, cfg = build_engine(_A)
+    httpd, _ = serve(engine, cfg.frame_fps, port=args.port)
+    print(f"serving on http://127.0.0.1:{args.port}", flush=True)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
