@@ -87,3 +87,25 @@ def test_evaluate_strides_by_process(coin_root, tmp_path, monkeypatch):
     assert half0 == list(range(0, len(ds), 2))
     assert half1 == list(range(1, len(ds), 2))
     assert sorted(half0 + half1) == list(range(len(ds)))
+
+
+@pytest.mark.parametrize("impl", ["sp_ring", "sp_ulysses"])
+def test_trainer_train_with_sequence_parallel_attention(coin_root, tmp_path,
+                                                        monkeypatch, impl):
+    """attn_implementation=sp_ring/sp_ulysses: the public trainer binds the
+    SP attention to its model axis and the loss trace matches the
+    single-device run (generation inside evaluate routes its cache-decode
+    shapes back to the auto dispatch)."""
+    monkeypatch.setattr(
+        "videollm_online_tpu.data.coin.base.COIN.root", coin_root)
+    out_a = str(tmp_path / "single")
+    out_b = str(tmp_path / impl)
+    _run(coin_root, out_a)
+    trainer = _run(coin_root, out_b,
+                   extra=["--mesh_model_axis", "2",
+                          "--attn_implementation", impl])
+    assert callable(trainer.attn_impl)
+    la, lb = _losses(out_a), _losses(out_b)
+    assert len(la) == len(lb) == 4
+    for a, b in zip(la, lb):
+        assert abs(a - b) <= 5e-4 * max(abs(a), 1.0), (la, lb)

@@ -43,7 +43,10 @@ class LiveTrainingArguments:
     embed_mark: str = "2fps_384_1+3x3"
     max_num_frames: int = 1200
     augmentation: bool = False
-    attn_implementation: str = "auto"  # 'auto' | 'xla' | 'pallas_flash'
+    # 'auto' | 'xla' | 'pallas_flash' | 'sp_ring' | 'sp_ulysses'
+    # (sp_*: sequence-parallel attention over the model axis; needs
+    # mesh_model_axis > 1)
+    attn_implementation: str = "auto"
     output_dir: str = "outputs/debug"
 
     # training hyperparameters (reference scripts/*.sh)

@@ -76,7 +76,11 @@ auto_attention.layered = _auto_layered
 
 
 def resolve_attn_impl(name: str):
-    """'auto' | 'xla' | 'pallas_flash' -> attn_impl callable or None."""
+    """'auto' | 'xla' | 'pallas_flash' -> attn_impl callable or None.
+    'sp_ring' | 'sp_ulysses' pass through as strings — they need the mesh,
+    so LiveTrainer binds them to its model axis at construction."""
     if name in ("auto", "pallas", "pallas_flash"):
         return auto_attention
+    if name in ("sp_ring", "sp_ulysses"):
+        return name
     return None  # 'xla': llama.forward's built-in reference path

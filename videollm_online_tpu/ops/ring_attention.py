@@ -141,9 +141,14 @@ def make_ring_attn(mesh: Mesh, axis_name: str,
              sliding_window=None):
         assert sliding_window is None, (
             "ring attention: sliding window not supported")
-        assert q.shape[2] == k.shape[2], (
-            "ring attention serves the full-causal training path only "
-            f"(T={q.shape[2]} vs S={k.shape[2]})")
+        if q.shape[2] != k.shape[2]:
+            # cache-decode shapes (generation inside the trainer's eval):
+            # SP applies to the full-causal training forward only — route
+            # small-query-vs-ring calls to the single-device dispatch
+            from .auto import auto_attention
+            return auto_attention(q, k, v, q_pos, kv_valid_upto,
+                                  num_groups=num_groups,
+                                  sliding_window=sliding_window)
         if num_groups > 1:
             k = jnp.repeat(k, num_groups, axis=1)
             v = jnp.repeat(v, num_groups, axis=1)

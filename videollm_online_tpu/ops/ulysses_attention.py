@@ -110,9 +110,13 @@ def make_ulysses_attn(mesh: Mesh, axis_name: str,
              sliding_window=None):
         assert sliding_window is None, (
             "ulysses attention: sliding window not supported")
-        assert q.shape[2] == k.shape[2], (
-            "ulysses attention serves the full-causal training path only "
-            f"(T={q.shape[2]} vs S={k.shape[2]})")
+        if q.shape[2] != k.shape[2]:
+            # cache-decode shapes (generation inside the trainer's eval):
+            # SP applies to the full-causal training forward only
+            from .auto import auto_attention
+            return auto_attention(q, k, v, q_pos, kv_valid_upto,
+                                  num_groups=num_groups,
+                                  sliding_window=sliding_window)
         if num_groups > 1:
             k = jnp.repeat(k, num_groups, axis=1)
             v = jnp.repeat(v, num_groups, axis=1)

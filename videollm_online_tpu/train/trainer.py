@@ -41,10 +41,25 @@ class LiveTrainer:
         self.eval_dataset_dict = eval_dataset_dict or {}
         self.compute_metrics_dict = compute_metrics_dict or {}
         self.collate_fn = collate_fn
-        self.attn_impl = attn_impl
         self.mesh = mesh
         if self.mesh is None and args.mesh_model_axis > 1:
             self.mesh = make_mesh(data=-1, model=args.mesh_model_axis)
+        if isinstance(attn_impl, str) and attn_impl.startswith("sp_"):
+            # sequence-parallel attention over the model axis: 'sp_ring'
+            # (ppermute ring, ops/ring_attention.py) or 'sp_ulysses'
+            # (all-to-all head/sequence repartition, ops/ulysses_attention.py)
+            # — for sequences too long for one chip's activations (the
+            # reference truncates instead, models/arguments_live.py:37,47)
+            from ..parallel.mesh import MODEL_AXIS
+            assert self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1, (
+                f"attn_implementation={attn_impl!r} needs mesh_model_axis > 1")
+            if attn_impl == "sp_ring":
+                from ..ops.ring_attention import make_ring_attn
+                attn_impl = make_ring_attn(self.mesh, MODEL_AXIS)
+            else:
+                from ..ops.ulysses_attention import make_ulysses_attn
+                attn_impl = make_ulysses_attn(self.mesh, MODEL_AXIS)
+        self.attn_impl = attn_impl
         self.logger = MetricLogger(args.output_dir)
 
         # steps bookkeeping
