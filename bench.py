@@ -19,6 +19,8 @@ Env knobs:
                  kernel path)
   BENCH_QUANT  = 1 | int8 | int4       (weight-only quant; 8b defaults int8)
   BENCH_KV_QUANT = int8                (int8 KV cache, engine mode)
+  BENCH_SPEC_DECODE = 1                (n-gram speculative decoding in
+                 response turns; greedy-identical transcripts, engine mode)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
                  itself from BENCH_FRAMES if larger)
@@ -179,7 +181,12 @@ def main():
         engine = LiveInferEngine(
             params, tok, cfg, kv_capacity=capacity,
             vision_params=vision_params,
-            kv_quant=os.environ.get("BENCH_KV_QUANT", "") or None)
+            kv_quant=os.environ.get("BENCH_KV_QUANT", "") or None,
+            # BENCH_SPEC_DECODE=1: n-gram speculative decoding inside every
+            # response turn (models/generate.py) — verify K drafted tokens
+            # per weight-streaming pass; transcripts identical to greedy
+            spec_decode=os.environ.get("BENCH_SPEC_DECODE", "")
+            in ("1", "true"))
 
         # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
         # catch-up/throughput profile: one host sync per chunked dispatch);
@@ -231,6 +238,11 @@ def main():
         print(f"engine mode ({pacing}): {n_frames} frames, {responses} "
               f"responses, final kv offset {offset}, {dt:.2f}s",
               file=sys.stderr)
+        if engine.spec_decode:
+            steps, emitted = (int(x) for x in engine.spec_stats())
+            print(f"spec_decode: {steps} verify steps -> {emitted} tokens "
+                  f"({emitted / max(steps, 1):.2f} tokens/step)",
+                  file=sys.stderr)
         metric = (f"streaming_engine_pixels_fps_{size}"
                   if input_kind == "pixels"
                   else f"streaming_engine_fps_{size}")

@@ -101,7 +101,9 @@ def build_engine(args):
                            kv_capacity=args.kv_capacity,
                            speculative=getattr(args, "speculative", False),
                            pipelined=getattr(args, "pipelined", False),
-                           kv_quant=getattr(args, "kv_quant", "") or None), cfg
+                           kv_quant=getattr(args, "kv_quant", "") or None,
+                           spec_decode=getattr(args, "spec_decode", False)
+                           ), cfg
 
 
 def main(argv=None):
@@ -135,6 +137,12 @@ def main(argv=None):
                    help="pipelined per-frame ingest: dispatch the next frame "
                         "before reading the previous gate (rolls back on "
                         "fire); hides readback RTT on tunneled TPUs")
+    p.add_argument("--spec_decode", action="store_true",
+                   help="n-gram speculative decoding inside response "
+                        "generation: verify up to 7 drafted tokens per "
+                        "weight-streaming forward (drafts from a device "
+                        "token-history ring); transcripts byte-identical "
+                        "to greedy")
     p.add_argument("--pipelined", action="store_true",
                    help="sustained-mode dispatch pipelining: the next burst "
                         "dispatches before the previous packed readback, "

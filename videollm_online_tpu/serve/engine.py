@@ -114,7 +114,18 @@ class LiveInferEngine:
         multi_respond: bool = True,
         pipelined: bool = False,
         kv_quant: Optional[str] = None,
+        spec_decode: bool = False,
     ):
+        # spec_decode: n-gram (prompt-lookup) speculative decoding inside
+        # every response generation (models/generate.py). Decode is
+        # weight-streaming-bound (~11 of 13.4 ms/token at 8B int8), so
+        # verifying K drafted tokens in ONE forward emits 1+accepted
+        # greedy-exact tokens per weight pass; drafts come from a device
+        # token-history ring of previous prompts/responses (live narration
+        # repeats heavily). Output transcripts are identical to greedy by
+        # construction (verification); .spec_stats() reports
+        # [verify_steps, emitted_tokens]. Opt-in.
+        self.spec_decode = spec_decode
         # kv_quant="int8": per-token-per-head symmetric int8 KV cache —
         # halves KV memory (2x stream capacity at a given kv_capacity) and
         # halves attention's KV HBM reads; the Pallas decode kernels
@@ -440,10 +451,34 @@ class LiveInferEngine:
             return cache, packed
 
         max_new = cfg.max_response_tokens
+        spec_on = self.spec_decode
+
+        def _generate(params, cache, sel_ids, sel_n, hist, hcount, stats):
+            """One response generation: greedy, or n-gram speculative when
+            the engine was built with spec_decode (byte-identical output;
+            the history ring threads through every jitted program so
+            pipelined dispatches chain it device-side like the prepend).
+            Returns (cache, length, out_ids_row, hist, hcount, stats)."""
+            embeds = llama.embed_tokens(params["llama"], sel_ids, cfg.llama)
+            embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
+            if spec_on:
+                rolled = jnp.roll(sel_ids, -(sel_ids.shape[1] - sel_n),
+                                  axis=1)
+                out_ids, length, cache, hist, hcount, st = (
+                    gen_mod.ngram_speculative_generate(
+                        params, cfg, cache, embeds, sel_n[None], hist,
+                        hcount, prompt_ids=rolled[0], prompt_n=sel_n,
+                        max_new_tokens=max_new, attn_impl=self.attn_impl))
+                stats = stats + st
+            else:
+                out_ids, length, cache = gen_mod.greedy_generate(
+                    params, cfg, cache, embeds, sel_n[None],
+                    max_new_tokens=max_new, attn_impl=self.attn_impl)
+            return cache, length[0], out_ids[0], hist, hcount, stats
 
         def _respond_tail(params, cache, consumed, n_frames, any_fire,
                           next_id, query_ids, query_n, gen_ids, gen_n,
-                          query_at_end):
+                          query_at_end, hist, hcount, stats):
             """Device-side response arbitration + generation, fused behind
             an ingest step. Mirrors the host logic of
             _stream_until_trigger/_respond_at exactly:
@@ -464,21 +499,21 @@ class LiveInferEngine:
             sel_ids = jnp.where(use_gen, gen_ids, query_ids)
             sel_n = jnp.where(use_gen, gen_n, query_n)
 
-            def respond_branch(cache):
-                embeds = llama.embed_tokens(params["llama"], sel_ids,
-                                            cfg.llama)
-                embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
-                out_ids, length, cache = gen_mod.greedy_generate(
-                    params, cfg, cache, embeds, sel_n[None],
-                    max_new_tokens=max_new, attn_impl=self.attn_impl)
-                return cache, length[0], out_ids[0]
+            def respond_branch(op):
+                cache, hist, hcount, stats = op
+                cache, length, out, hist, hcount, stats = _generate(
+                    params, cache, sel_ids, sel_n, hist, hcount, stats)
+                return cache, length, out, hist, hcount, stats
 
-            def no_respond(cache):
+            def no_respond(op):
+                cache, hist, hcount, stats = op
                 return (cache, jnp.asarray(0, jnp.int32),
-                        jnp.zeros((max_new,), jnp.int32))
+                        jnp.zeros((max_new,), jnp.int32), hist, hcount,
+                        stats)
 
-            cache, length, out_ids = jax.lax.cond(
-                do_respond, respond_branch, no_respond, cache)
+            cache, length, out_ids, hist, hcount, stats = jax.lax.cond(
+                do_respond, respond_branch, no_respond,
+                (cache, hist, hcount, stats))
             # ONE packed readback for the whole step:
             # [consumed, fire, next_id, responded, used_gen, resp_len,
             #  offset, resp ids...]
@@ -488,17 +523,18 @@ class LiveInferEngine:
                            use_gen.astype(jnp.int32), length,
                            cache.offset[0]]),
                 out_ids])
-            return cache, packed
+            return cache, packed, hist, hcount, stats
 
         def ingest_chunk_respond(params, cache, first_text, first_n, frames,
                                  n_frames, threshold, query_ids, query_n,
-                                 gen_ids, gen_n, query_at_end):
+                                 gen_ids, gen_n, query_at_end, hist, hcount,
+                                 stats):
             cache, consumed, any_fire, next_id = _chunk_core(
                 params, cache, first_text, first_n, frames, n_frames,
                 threshold)
             return _respond_tail(params, cache, consumed, n_frames, any_fire,
                                  next_id, query_ids, query_n, gen_ids, gen_n,
-                                 query_at_end)
+                                 query_at_end, hist, hcount, stats)
 
         def _multichunk_core(params, cache, first_text, first_n, frames,
                              n_frames, threshold):
@@ -541,23 +577,25 @@ class LiveInferEngine:
 
         def ingest_burstloop_respond(params, cache, first_text, first_n,
                                      frames, n_frames, threshold, query_ids,
-                                     query_n, gen_ids, gen_n, query_at_end):
+                                     query_n, gen_ids, gen_n, query_at_end,
+                                     hist, hcount, stats):
             cache, consumed, any_fire, next_id = _multichunk_core(
                 params, cache, first_text, first_n, frames, n_frames,
                 threshold)
             return _respond_tail(params, cache, consumed, n_frames, any_fire,
                                  next_id, query_ids, query_n, gen_ids, gen_n,
-                                 query_at_end)
+                                 query_at_end, hist, hcount, stats)
 
         def ingest_burst_respond(params, cache, first_text, first_n, frames,
                                  n_frames, threshold, query_ids, query_n,
-                                 gen_ids, gen_n, query_at_end):
+                                 gen_ids, gen_n, query_at_end, hist, hcount,
+                                 stats):
             cache, consumed, any_fire, next_id = _burst_core(
                 params, cache, first_text, first_n, frames, n_frames,
                 threshold)
             return _respond_tail(params, cache, consumed, n_frames, any_fire,
                                  next_id, query_ids, query_n, gen_ids, gen_n,
-                                 query_at_end)
+                                 query_at_end, hist, hcount, stats)
 
         reopen = [int(i) for i in self._stream_prompt_ids]
         n_eos_pre = 1 + len(reopen)
@@ -585,7 +623,7 @@ class LiveInferEngine:
 
         def ingest_stream(params, cache, first_text, first_n, frames,
                           n_frames, threshold, query_ids, query_n, gen_ids,
-                          gen_n, query_at_end):
+                          gen_n, query_at_end, hist, hcount, stats):
             """The whole streaming cycle as ONE device program: a while_loop
             over chunk steps that, on each gate fire, runs the full response
             turn (prompt prefill + greedy generation) INLINE and continues
@@ -608,14 +646,10 @@ class LiveInferEngine:
                 return jnp.logical_and(consumed < n_frames,
                                        n_resp < R_STREAM)
 
-            def respond_branch(cache, sel_ids, sel_n):
-                embeds = llama.embed_tokens(params["llama"], sel_ids,
-                                            cfg.llama)
-                embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
-                out_ids, length, cache = gen_mod.greedy_generate(
-                    params, cfg, cache, embeds, sel_n[None],
-                    max_new_tokens=max_new, attn_impl=self.attn_impl)
-                return cache, length[0], out_ids[0]
+            def respond_branch(op, sel_ids, sel_n):
+                cache, hist, hcount, stats = op
+                return _generate(params, cache, sel_ids, sel_n, hist,
+                                 hcount, stats)
 
             def record(do, n_resp, slot_arrays, out, length, use_gen,
                        consumed):
@@ -636,7 +670,8 @@ class LiveInferEngine:
 
             def body(st):
                 (cache, consumed, n_resp, pre_text, pre_n, _next_id,
-                 _lwr, _tail, _tgen, r_ids, r_len, r_gen, r_fidx) = st
+                 _lwr, _tail, _tgen, r_ids, r_len, r_gen, r_fidx,
+                 hist, hcount, stats) = st
                 chunk = jax.lax.dynamic_slice(
                     frames, (consumed, 0, 0),
                     (CHUNK_FRAMES, fnt, self.hidden))
@@ -658,12 +693,13 @@ class LiveInferEngine:
                 sel_ids = jnp.where(use_gen, gen_ids, query_ids)
                 sel_n = jnp.where(use_gen, gen_n, query_n)
 
-                cache, length, out = jax.lax.cond(
+                cache, length, out, hist, hcount, stats = jax.lax.cond(
                     do_inline,
-                    lambda c: respond_branch(c, sel_ids, sel_n),
-                    lambda c: (c, jnp.asarray(0, jnp.int32),
-                               jnp.zeros((max_new,), jnp.int32)),
-                    cache)
+                    lambda op: respond_branch(op, sel_ids, sel_n),
+                    lambda op: (op[0], jnp.asarray(0, jnp.int32),
+                                jnp.zeros((max_new,), jnp.int32),
+                                op[1], op[2], op[3]),
+                    (cache, hist, hcount, stats))
                 r_ids, r_len, r_gen, r_fidx, n_resp = record(
                     do_inline, n_resp, (r_ids, r_len, r_gen, r_fidx), out,
                     length, use_gen, consumed)
@@ -673,7 +709,7 @@ class LiveInferEngine:
                 tail = jnp.logical_and(do_respond, full)
                 return (cache, consumed, n_resp, pre_text, pre_n, nid,
                         do_inline, tail, use_gen, r_ids, r_len, r_gen,
-                        r_fidx)
+                        r_fidx, hist, hcount, stats)
 
             init = (cache, jnp.asarray(0, jnp.int32),
                     jnp.asarray(0, jnp.int32), first_text, first_n,
@@ -682,20 +718,22 @@ class LiveInferEngine:
                     jnp.zeros((R_STREAM, max_new), jnp.int32),
                     jnp.zeros((R_STREAM,), jnp.int32),
                     jnp.zeros((R_STREAM,), jnp.int32),
-                    jnp.zeros((R_STREAM,), jnp.int32))
+                    jnp.zeros((R_STREAM,), jnp.int32), hist, hcount, stats)
             (cache, consumed, n_resp, pre_text, pre_n, next_id, lwr, tail,
              tail_gen, r_ids, r_len, r_gen,
-             r_fidx) = jax.lax.while_loop(cond, body, init)
+             r_fidx, hist, hcount, stats) = jax.lax.while_loop(
+                 cond, body, init)
 
             # burst-end response turn, hoisted out of the loop
             t_ids = jnp.where(tail_gen, gen_ids, query_ids)
             t_n = jnp.where(tail_gen, gen_n, query_n)
-            cache, t_len, t_out = jax.lax.cond(
+            cache, t_len, t_out, hist, hcount, stats = jax.lax.cond(
                 tail,
-                lambda c: respond_branch(c, t_ids, t_n),
-                lambda c: (c, jnp.asarray(0, jnp.int32),
-                           jnp.zeros((max_new,), jnp.int32)),
-                cache)
+                lambda op: respond_branch(op, t_ids, t_n),
+                lambda op: (op[0], jnp.asarray(0, jnp.int32),
+                            jnp.zeros((max_new,), jnp.int32),
+                            op[1], op[2], op[3]),
+                (cache, hist, hcount, stats))
             r_ids, r_len, r_gen, r_fidx, n_resp = record(
                 tail, n_resp, (r_ids, r_len, r_gen, r_fidx), t_out, t_len,
                 tail_gen, consumed)
@@ -710,27 +748,27 @@ class LiveInferEngine:
                 r_len, r_gen, r_fidx, r_ids.reshape(-1)])
             # (pre_text, pre_n) = the NEXT dispatch's prepend, still on
             # device: the pipelined driver chains dispatches through them
-            # with no host readback in between
-            return cache, packed, pre_text, pre_n
+            # with no host readback in between (hist/stats chain the same
+            # way — the history ring never needs a host readback)
+            return cache, packed, pre_text, pre_n, hist, hcount, stats
 
-        def respond(params, cache, prompt_ids, num_valid, start_offset):
+        def respond(params, cache, prompt_ids, num_valid, start_offset,
+                    hist, hcount, stats):
             """start_offset rewinds the ring before the prompt append — the
             host mirror in the normal path; the ROLLBACK point when a
             speculative frame dispatch must be discarded (its stale KV
             beyond start_offset is overwritten by the prompt/response and
             never attended, the trim-on-fire mechanism)."""
             cache = cache._replace(offset=start_offset)
-            embeds = llama.embed_tokens(params["llama"], prompt_ids, cfg.llama)
-            embeds = _pack_valid_first(embeds, prompt_ids.shape[1], num_valid)
-            out_ids, length, cache = gen_mod.greedy_generate(
-                params, cfg, cache, embeds, num_valid,
-                attn_impl=self.attn_impl)
+            cache, length, out_row, hist, hcount, stats = _generate(
+                params, cache, prompt_ids, num_valid[0], hist, hcount,
+                stats)
             # single packed readback: [length, new_offset, token ids...]
             packed = jnp.concatenate([
                 length.reshape(1).astype(jnp.int32),
                 cache.offset[:1].astype(jnp.int32),
-                out_ids[0].astype(jnp.int32)])
-            return packed, cache
+                out_row.astype(jnp.int32)])
+            return packed, cache, hist, hcount, stats
 
         self._compact_jit = jax.jit(llama.compact_kv_cache,
                                     donate_argnums=(0,))
@@ -739,14 +777,15 @@ class LiveInferEngine:
         self._prefill = jax.jit(prefill, donate_argnums=(1,))
         self._ingest = jax.jit(ingest_burst, donate_argnums=(1,))
         self._ingest_chunk = jax.jit(ingest_chunk, donate_argnums=(1,))
+        _don = ("cache", "hist", "hcount", "stats")
         self._ingest_chunk_respond = jax.jit(ingest_chunk_respond,
-                                             donate_argnums=(1,))
+                                             donate_argnames=_don)
         self._ingest_burst_respond = jax.jit(ingest_burst_respond,
-                                             donate_argnums=(1,))
+                                             donate_argnames=_don)
         self._ingest_burstloop_respond = jax.jit(ingest_burstloop_respond,
-                                                 donate_argnums=(1,))
-        self._ingest_stream = jax.jit(ingest_stream, donate_argnums=(1,))
-        self._respond = jax.jit(respond, donate_argnums=(1,))
+                                                 donate_argnames=_don)
+        self._ingest_stream = jax.jit(ingest_stream, donate_argnames=_don)
+        self._respond = jax.jit(respond, donate_argnames=_don)
         self._project = jax.jit(
             lambda p, feats: live.visual_embed(p, feats, cfg))
 
@@ -826,6 +865,15 @@ class LiveInferEngine:
         # device-resident prepend chaining the next pipelined dispatch
         # (valid while _pipe is non-empty; host mirror takes over after)
         self._carry = None
+        # spec_decode state: token-history ring + total count + accumulated
+        # [verify_steps, emitted_tokens]. Threaded through every jitted
+        # program (pass-through when spec_decode is off), never read back
+        # on the hot path. Rolled-back pipelined dispatches may leave
+        # phantom tokens in the ring — that only perturbs draft quality,
+        # never output (verification).
+        self._hist = jnp.zeros((gen_mod.SPEC_HIST,), jnp.int32)
+        self._hcount = jnp.zeros((), jnp.int32)
+        self._sstats = jnp.zeros((2,), jnp.int32)
 
     # ------------------------------------------------------------------ I/O
     def load_video(self, video: Any):
@@ -840,6 +888,12 @@ class LiveInferEngine:
         self.video_tensor = video
         self.num_video_frames = video.shape[0]
         self.video_duration = video.shape[0] / self.frame_fps
+
+    def spec_stats(self) -> np.ndarray:
+        """[verify_steps, emitted_tokens] accumulated by spec_decode
+        responses (one device readback; call off the hot path). Mean
+        accepted drafts per step = tokens/steps - 1."""
+        return np.asarray(self._sstats)
 
     def set_threshold(self, threshold: float):
         """Adjust the streaming gate threshold at runtime without a
@@ -1137,27 +1191,33 @@ class LiveInferEngine:
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
                     frames = self._frames_operand(group, bucket)
-                    self.cache, packed = self._ingest_burstloop_respond(
+                    (self.cache, packed, self._hist, self._hcount,
+                     self._sstats) = self._ingest_burstloop_respond(
                         self.params, self.cache, text, ntext, frames,
-                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae,
+                        self._hist, self._hcount, self._sstats)
                 elif n >= 2:
                     group = burst_embeds[i:i + CHUNK_FRAMES]
                     k = len(group)
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
                     frames = self._frames_operand(group, CHUNK_FRAMES)
-                    self.cache, packed = self._ingest_chunk_respond(
+                    (self.cache, packed, self._hist, self._hcount,
+                     self._sstats) = self._ingest_chunk_respond(
                         self.params, self.cache, text, ntext, frames,
-                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae,
+                        self._hist, self._hcount, self._sstats)
                 else:
                     group = burst_embeds[i:i + CHUNK_FRAMES]
                     k = len(group)
                     last_chunk = (i + k) >= n
                     qae = self._dev_bool(query_at_end and last_chunk)
                     frames = self._frames_operand(group, k)
-                    self.cache, packed = self._ingest_burst_respond(
+                    (self.cache, packed, self._hist, self._hcount,
+                     self._sstats) = self._ingest_burst_respond(
                         self.params, self.cache, text, ntext, frames,
-                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae)
+                        self._dev_i32(k), thr, jq, jqn, jg, jgn, qae,
+                        self._hist, self._hcount, self._sstats)
                 packed = np.asarray(packed)  # the step's ONE readback
                 consumed = int(packed[0])
                 fire = bool(packed[1])
@@ -1229,11 +1289,14 @@ class LiveInferEngine:
         # CHUNK_FRAMES slack keeps the device loop's dynamic_slice
         # in-bounds at every consumed offset
         frames = self._frames_operand(b["group"], b["fb"] + CHUNK_FRAMES)
-        return self._ingest_stream(
+        (cache, packed, pre_text, pre_n, self._hist, self._hcount,
+         self._sstats) = self._ingest_stream(
             self.params, self.cache, first_text, first_n, frames,
             self._dev_i32(b["k"]), self._dev_thr(), jq,
             self._dev_i32(len(b["query_prompt"])), jg,
-            self._dev_i32(len(b["gen_prompt"])), self._dev_bool(b["qae"]))
+            self._dev_i32(len(b["gen_prompt"])), self._dev_bool(b["qae"]),
+            self._hist, self._hcount, self._sstats)
+        return cache, packed, pre_text, pre_n
 
     def _call_stream(self) -> Tuple[Optional[str], Optional[str]]:
         """Multi-response streaming step: one ingest_stream dispatch covers
@@ -1611,10 +1674,12 @@ class LiveInferEngine:
                 f"the response turn (offset {self._host_offset}, "
                 f"prompt bucket {bucket}); raise kv_capacity, set "
                 f"stream_window, or reset()")
-        packed, self.cache = self._respond(
+        (packed, self.cache, self._hist, self._hcount,
+         self._sstats) = self._respond(
             self.params, self.cache, self._dev_prompt(prompt, bucket),
             self._dev(("nv", n), lambda: jnp.asarray([n], jnp.int32)),
-            jnp.asarray([self._host_offset], jnp.int32))
+            jnp.asarray([self._host_offset], jnp.int32),
+            self._hist, self._hcount, self._sstats)
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
         out = packed[2:2 + int(packed[0])]
