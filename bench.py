@@ -19,8 +19,10 @@ Env knobs:
                  kernel path)
   BENCH_QUANT  = 1 | int8 | int4       (weight-only quant; 8b defaults int8)
   BENCH_KV_QUANT = int8                (int8 KV cache, engine mode)
-  BENCH_SPEC_DECODE = 1                (n-gram speculative decoding in
-                 response turns; greedy-identical transcripts, engine mode)
+  BENCH_SPEC_DECODE = 0|1              (n-gram speculative decoding in
+                 response turns; greedy-identical transcripts, engine mode.
+                 Default ON: it is a deployment config like pipelining —
+                 measured 20.6 -> 30.0 FPS at 8B int8, 2.28 tokens/verify)
   BENCH_FRAMES = number of frames to stream (default: 256)
   BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
                  itself from BENCH_FRAMES if larger)
@@ -182,11 +184,12 @@ def main():
             params, tok, cfg, kv_capacity=capacity,
             vision_params=vision_params,
             kv_quant=os.environ.get("BENCH_KV_QUANT", "") or None,
-            # BENCH_SPEC_DECODE=1: n-gram speculative decoding inside every
-            # response turn (models/generate.py) — verify K drafted tokens
-            # per weight-streaming pass; transcripts identical to greedy
-            spec_decode=os.environ.get("BENCH_SPEC_DECODE", "")
-            in ("1", "true"))
+            # n-gram speculative decoding inside every response turn
+            # (models/generate.py) — verify K drafted tokens per
+            # weight-streaming pass; transcripts identical to greedy.
+            # Default ON (BENCH_SPEC_DECODE=0 disables).
+            spec_decode=os.environ.get("BENCH_SPEC_DECODE", "1")
+            not in ("0", "false"))
 
         # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
         # catch-up/throughput profile: one host sync per chunked dispatch);
