@@ -22,7 +22,7 @@ def main():
                    help="safetensors file/dir (HF checkpoint)")
     p.add_argument("--dst", required=True, help="output Orbax dir")
     p.add_argument("--family", default="llama",
-                   choices=["llama", "mistral", "siglip"])
+                   choices=["llama", "mistral", "qwen2", "siglip"])
     p.add_argument("--size", default="8b",
                    choices=["8b", "7b", "1b", "tiny"])
     p.add_argument("--int8", action="store_true",
@@ -33,7 +33,8 @@ def main():
     args = p.parse_args()
 
     from videollm_online_tpu.core.config import (LlamaConfig, VisionConfig,
-                                                 mistral_7b_config)
+                                                 mistral_7b_config,
+                                                 qwen2_7b_config)
     from videollm_online_tpu.models import convert, quant
     from videollm_online_tpu.train.checkpoints import save_params
 
@@ -43,6 +44,8 @@ def main():
     else:
         if args.family == "mistral":
             cfg = mistral_7b_config()
+        elif args.family == "qwen2":
+            cfg = qwen2_7b_config()
         else:
             # the size presets match the serve CLI / builder proxies, so a
             # converted tiny checkpoint serves with --model_size tiny

@@ -34,6 +34,9 @@ class LlamaConfig:
     # reference notes swapping the Llama parent for Mistral as the
     # multi-family extension point (reference README.md:108).
     sliding_window: Optional[int] = None
+    # Qwen2-style bias on the q/k/v projections (o_proj and MLP stay
+    # bias-free in that family).
+    attention_bias: bool = False
     # numerics policy: parameters/activations bf16, softmax/norm/loss fp32
     dtype: str = "bfloat16"
 
@@ -204,6 +207,26 @@ def mistral_7b_config(**overrides) -> LlamaConfig:
         rope_theta=10000.0,
         max_position_embeddings=32768,
         sliding_window=4096,
+    )
+    kw.update(overrides)
+    return LlamaConfig(**kw)
+
+
+def qwen2_7b_config(**overrides) -> LlamaConfig:
+    """Qwen2-7B-Instruct architecture (third LLM family): Llama block with
+    bias on the q/k/v projections and 1e6 rope base."""
+    kw = dict(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        rope_theta=1e6,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=32768,
+        attention_bias=True,
     )
     kw.update(overrides)
     return LlamaConfig(**kw)

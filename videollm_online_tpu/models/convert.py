@@ -64,6 +64,13 @@ def llama_params_from_state_dict(sd: Mapping[str, Any], cfg: LlamaConfig,
         },
         "final_norm": jnp.asarray(get("norm.weight"), dtype),
     }
+    if cfg.attention_bias:  # Qwen2 family: q/k/v bias vectors
+        params["layers"]["bq"] = stack(
+            "layers.{}.self_attn.q_proj.bias", transpose=False)
+        params["layers"]["bk"] = stack(
+            "layers.{}.self_attn.k_proj.bias", transpose=False)
+        params["layers"]["bv"] = stack(
+            "layers.{}.self_attn.v_proj.bias", transpose=False)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     return params

@@ -64,6 +64,10 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
         },
         "final_norm": jnp.ones((D,), dtype),
     }
+    if cfg.attention_bias:  # Qwen2 family: bias on q/k/v only
+        params["layers"]["bq"] = jnp.zeros((L, cfg.q_dim), dtype)
+        params["layers"]["bk"] = jnp.zeros((L, cfg.kv_dim), dtype)
+        params["layers"]["bv"] = jnp.zeros((L, cfg.kv_dim), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _dense_init(keys[8], D, cfg.vocab_size, dtype)
     return params
@@ -340,6 +344,10 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
     q = dns(x, "wq")
     k = dns(x, "wk")
     v = dns(x, "wv")
+    if cfg.attention_bias:  # Qwen2 family
+        q = q + layer_params["bq"]
+        k = k + layer_params["bk"]
+        v = v + layer_params["bv"]
     q = q.reshape(B, S, Hq, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)

@@ -217,8 +217,8 @@ def quantize_llama_params(params: Dict[str, Any], bits: int = 8
     out["final_norm"] = params["final_norm"]
     layers = {}
     for name, w in params["layers"].items():
-        if name in ("attn_norm", "mlp_norm"):
-            layers[name] = w
+        if name in ("attn_norm", "mlp_norm", "bq", "bk", "bv"):
+            layers[name] = w  # norms + Qwen2 qkv biases stay unquantized
         else:
             layers[name] = quant_for(name)(w)  # stacked (L, in, out)
     out["layers"] = layers
@@ -283,6 +283,10 @@ def random_quantized_llama_params(key: jax.Array, cfg, bits: int = 8
     }
     for i, (name, (din, dout)) in enumerate(dims.items()):
         layers[name] = qrand(keys[i], (L, din, dout), din, name=name)
+    if getattr(cfg, "attention_bias", False):  # Qwen2 family
+        layers["bq"] = jnp.zeros((L, cfg.q_dim), jnp.bfloat16)
+        layers["bk"] = jnp.zeros((L, cfg.kv_dim), jnp.bfloat16)
+        layers["bv"] = jnp.zeros((L, cfg.kv_dim), jnp.bfloat16)
     V = cfg.vocab_size
     return {
         "embed": {QUANT_KEY: jax.random.randint(keys[7], (V, D), -127, 128,
