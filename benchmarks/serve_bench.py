@@ -40,6 +40,9 @@ def main():
                    help="weight-only quant (8b defaults to int8)")
     p.add_argument("--kv_quant", default="", choices=["", "int8"],
                    help="int8 KV cache (in-kernel dequant; halves KV bytes)")
+    p.add_argument("--ms_spec_decode", action="store_true",
+                   help="batched n-gram speculative decoding in the "
+                        "multistream responses (greedy-identical)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -157,7 +160,8 @@ def main():
                                    kv_capacity=ms_ctx,
                                    fused=args.ms_mode != "unfused",
                                    pipelined=args.ms_mode == "pipelined",
-                                   kv_quant=args.kv_quant or None)
+                                   kv_quant=args.kv_quant or None,
+                                   spec_decode=args.ms_spec_decode)
             feats = np.asarray(jax.random.normal(
                 rngf, (per_stream, fnt, cfg.vision_hidden_size),
                 jnp.float32))
@@ -189,6 +193,12 @@ def main():
             report["multistream_responses"] = responses
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
                      f"{args.streams} streams ({responses} responses)")
+            if args.ms_spec_decode:
+                steps, emitted = (int(x) for x in ms.spec_stats())
+                report["multistream_spec_tokens_per_step"] = round(
+                    emitted / max(steps, 1), 2)
+                progress(f"ms spec_decode: {steps} verify steps -> "
+                         f"{emitted} tokens")
 
       # 4. encoder throughput (random SigLIP-large weights)
       if args.encoder_batch > 0 and not args.only_ms:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LiveConfig
+from ..models import generate as gen_mod
 from ..models import llama, live
 from ..tokenizer.live_tokenizer import LiveTokenizer
 from .engine import _FrameRef, _contiguous_ref_run, _frame_row
@@ -67,15 +68,22 @@ class MultiStreamEngine:
                  stream_window: Optional[int] = None,
                  fused: bool = True, pipelined: bool = False,
                  pipeline_depth: int = 2,
-                 kv_quant: Optional[str] = None):
+                 kv_quant: Optional[str] = None,
+                 spec_decode: bool = False):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
         # prepend before reading tick i (speculative full consumption,
         # rolled back on a response-slot overflow or deferred query)
         # kv_quant="int8": int8 KV ring (see LiveInferEngine) — at batched
         # capacity 8192 x N streams this halves the dominant HBM allocation
+        # spec_decode: n-gram speculative decoding inside every response
+        # turn (models/generate.py, batched): per-stream token-history
+        # rings draft K tokens each; ONE verify forward emits 1+accepted
+        # greedy-exact tokens per stream per weight-streaming pass.
+        # Transcripts are byte-identical to greedy by construction.
         assert kv_quant in (None, "int8"), kv_quant
         self.kv_quant = kv_quant
+        self.spec_decode = spec_decode
         self.fused = fused
         self.pipelined = pipelined
         self.pipeline_depth = max(1, pipeline_depth)
@@ -280,15 +288,128 @@ class MultiStreamEngine:
                 rcond, rbody, (jnp.asarray(1), out, cache, done, lengths))
             return out, lengths, cache
 
-        def respond(params, cache, prompt_ids, num_valid, active):
-            """Batched greedy decode for the ACTIVE streams (standalone
-            dispatch: the unfused path + the stop_fire fallback). One
-            packed (N, 2 + max_new) readback: [len, offset, ids...]."""
-            out, lengths, cache = _respond_core(
-                params, cache, prompt_ids, num_valid, active)
+        spec_on = self.spec_decode
+        Ksp = gen_mod.SPEC_DRAFT
+
+        def _respond_core_spec(params, cache, prompt_ids, num_valid, active,
+                               hist, hcount, stats):
+            """Batched n-gram speculative decode: the greedy core's exact
+            output token streams (per-stream verification), up to
+            ``Ksp + 1`` tokens per stream per forward. hist (N, H) /
+            hcount (N,) are the per-stream history rings; stats (2,)
+            accumulates [verify_steps, emitted] across all streams."""
+            P = prompt_ids.shape[1]
+            p_emb = llama.embed_tokens(params["llama"], prompt_ids,
+                                       cfg.llama)
+
+            def roll_one(e, n):
+                return jnp.roll(e, -(P - n), axis=0)
+
+            p_emb = jax.vmap(roll_one)(p_emb, num_valid)
+            nv = jnp.where(active, num_valid, 0)
+            # prompt ids feed the history rings (valid-first per row)
+            ids_vf = jax.vmap(lambda row, n: jnp.roll(row, -(P - n)))(
+                prompt_ids, num_valid)
+            hist, hcount = jax.vmap(gen_mod.hist_append_ids)(
+                hist, hcount, ids_vf, nv)
+            gather = jnp.clip(nv - 1, 0, None)
+            logits, cache = fwd(params, p_emb, cache, nv, gather)
+            first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            out = jnp.zeros((N, max_new), jnp.int32).at[:, 0].set(first)
+            done = jnp.logical_or(jnp.logical_not(active), first == eos)
+            lengths = jnp.where(active, 1, 0)
+            hist, hcount = jax.vmap(gen_mod.hist_append_ids)(
+                hist, hcount, first[:, None],
+                jnp.where(active, 1, 0).astype(jnp.int32))
+            nact = active.sum().astype(jnp.int32)
+            stats = stats + jnp.stack([nact, nact])
+            rows = jnp.arange(N)
+            i_n = jnp.where(active, 1, 0)
+
+            def rcond(st):
+                done = st[3]
+                return jnp.logical_not(done.all())
+
+            def rbody(st):
+                (i_n, out, cache, done, lengths, hist, hcount, stats) = st
+                prev = out[rows, jnp.clip(i_n - 1, 0, max_new - 1)]
+                drafts = jax.vmap(
+                    lambda h, c: gen_mod._ngram_draft(h, c, Ksp))(
+                    hist, hcount)                        # (N, Ksp)
+                toks = jnp.concatenate([prev[:, None], drafts], axis=1)
+                emb = llama.embed_tokens(params["llama"], toks, cfg.llama)
+                off0 = cache.offset
+                feed = jnp.where(done, 0, Ksp + 1).astype(jnp.int32)
+                gpos = jnp.broadcast_to(
+                    jnp.arange(Ksp + 1, dtype=jnp.int32)[None],
+                    (N, Ksp + 1))
+                logits, cache = fwd(params, emb, cache, feed, gpos)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                karr = jnp.arange(Ksp, dtype=jnp.int32)
+                mism = preds[:, :Ksp] != drafts
+                a = jnp.min(jnp.where(mism, karr[None], Ksp), axis=1)
+                emit = a + 1                             # accepted + 1
+                kk = jnp.arange(Ksp + 1, dtype=jnp.int32)
+                is_eos = jnp.logical_and(preds == eos,
+                                         kk[None] < emit[:, None])
+                e_idx = jnp.min(jnp.where(is_eos, kk[None], Ksp + 1),
+                                axis=1)
+                hit_eos = e_idx <= Ksp
+                emit = jnp.where(hit_eos, e_idx + 1, emit)
+                emit = jnp.minimum(emit, max_new - i_n)  # budget clip
+                emit = jnp.where(done, 0, emit)
+                # conflict-free gather/select write of each stream's
+                # [i_n, i_n+emit) window (scatter order is unspecified)
+                idx = jnp.arange(max_new, dtype=jnp.int32)[None]
+                rel = idx - i_n[:, None]
+                inwin = jnp.logical_and(rel >= 0, rel < emit[:, None])
+                vals = jnp.take_along_axis(preds, jnp.clip(rel, 0, Ksp),
+                                           axis=1)
+                out = jnp.where(inwin, vals, out)
+                hist, hcount = jax.vmap(gen_mod.hist_append_ids)(
+                    hist, hcount, preds, emit)
+                # rewind: keep `emit` KV entries per stream (the newest
+                # emitted token's KV stays out of the cache — same
+                # invariant as the greedy core)
+                cache = cache._replace(offset=off0 + emit)
+                lengths = jnp.where(done, lengths, i_n + emit)
+                stats = stats + jnp.stack([
+                    jnp.logical_not(done).sum().astype(jnp.int32),
+                    emit.sum().astype(jnp.int32)])
+                done = jnp.logical_or(done, jnp.logical_or(
+                    hit_eos, i_n + emit >= max_new))
+                return (i_n + emit, out, cache, done, lengths, hist,
+                        hcount, stats)
+
+            (_, out, cache, _, lengths, hist, hcount, stats) = \
+                jax.lax.while_loop(
+                    rcond, rbody,
+                    (i_n, out, cache, done, lengths, hist, hcount, stats))
+            return out, lengths, cache, hist, hcount, stats
+
+        def _respond_any(params, cache, prompt_ids, num_valid, active,
+                         hist, hcount, stats):
+            """Greedy or speculative batched respond; the spec state is a
+            pass-through when spec_decode is off (trace-time switch)."""
+            if spec_on:
+                return _respond_core_spec(params, cache, prompt_ids,
+                                          num_valid, active, hist, hcount,
+                                          stats)
+            out, lengths, cache = _respond_core(params, cache, prompt_ids,
+                                                num_valid, active)
+            return out, lengths, cache, hist, hcount, stats
+
+        def respond(params, cache, prompt_ids, num_valid, active,
+                    hist, hcount, stats):
+            """Batched decode for the ACTIVE streams (standalone dispatch:
+            the unfused path + the stop_fire fallback). One packed
+            (N, 2 + max_new) readback: [len, offset, ids...]."""
+            out, lengths, cache, hist, hcount, stats = _respond_any(
+                params, cache, prompt_ids, num_valid, active, hist, hcount,
+                stats)
             packed = jnp.concatenate(
                 [lengths[:, None], cache.offset[:, None], out], axis=1)
-            return packed, cache
+            return packed, cache, hist, hcount, stats
 
         def _chunk_core(params, cache, pre_text, pre_n, frames, starts,
                         k_i):
@@ -348,7 +469,7 @@ class MultiStreamEngine:
             return cache, any_fire, first_fire, next_at_last, adv
 
         def tick(params, cache, text_ids, n_text, frames, meta,
-                 q_ids, q_nv, g_ids, g_nv):
+                 q_ids, q_nv, g_ids, g_nv, hist, hcount, stats):
             """FUSED tick: the whole scheduler tick — gated chunk ingest,
             up to R_TICK inline response turns per stream (gate fires use
             the gen prompt; the end-of-burst query uses the per-stream
@@ -411,7 +532,7 @@ class MultiStreamEngine:
             def body(st):
                 (cache, consumed, n_resp, answered, stop, defer_q,
                  pre_text, pre_n, stop_fire, out, olen, okind,
-                 ofidx) = st
+                 ofidx, hist, hcount, stats) = st
                 k_i = jnp.clip(n_frames - consumed, 0, K)
                 k_i = jnp.where(jnp.logical_or(stop, ~active), 0, k_i)
                 # skip the whole-weights chunk pass when no stream has
@@ -461,13 +582,14 @@ class MultiStreamEngine:
                 sel_ids = jnp.where(use_q[:, None], q_ids, g_ids)
                 sel_nv = jnp.where(use_q, q_nv, g_nv)
                 # respond only when some stream actually fires/catches up
-                rout, rlen, cache = jax.lax.cond(
+                rout, rlen, cache, hist, hcount, stats = jax.lax.cond(
                     do_resp.any(),
-                    lambda c: _respond_core(params, c, sel_ids, sel_nv,
-                                            do_resp),
-                    lambda c: (jnp.zeros((N, max_new), jnp.int32),
-                               jnp.zeros((N,), jnp.int32), c),
-                    cache)
+                    lambda op: _respond_any(params, op[0], sel_ids, sel_nv,
+                                            do_resp, op[1], op[2], op[3]),
+                    lambda op: (jnp.zeros((N, max_new), jnp.int32),
+                                jnp.zeros((N,), jnp.int32), op[0], op[1],
+                                op[2], op[3]),
+                    (cache, hist, hcount, stats))
                 answered = jnp.logical_or(answered, use_q)
 
                 slot = jnp.clip(n_resp, 0, R - 1)
@@ -490,7 +612,7 @@ class MultiStreamEngine:
                 pre_n = jnp.where(do_resp, pn_r, pre_n)
                 return (cache, consumed, n_resp, answered, stop, defer_q,
                         pre_text, pre_n, stop_fire, out, olen, okind,
-                        ofidx)
+                        ofidx, hist, hcount, stats)
 
             def cond_full(st):
                 (cache, consumed, n_resp, answered, stop, defer_q,
@@ -510,10 +632,11 @@ class MultiStreamEngine:
                    jnp.zeros((N, R, max_new), jnp.int32),
                    jnp.zeros((N, R), jnp.int32),
                    jnp.zeros((N, R), jnp.int32),
-                   jnp.zeros((N, R), jnp.int32))
+                   jnp.zeros((N, R), jnp.int32), hist, hcount, stats)
             (cache, consumed, n_resp, answered, _stop, _defer, pre_text,
              pre_n, stop_fire, out, olen, okind,
-             ofidx) = jax.lax.while_loop(cond_full, body, st0)
+             ofidx, hist, hcount, stats) = jax.lax.while_loop(
+                 cond_full, body, st0)
             packed = jnp.concatenate([
                 consumed[:, None], cache.offset[:, None], pre_n[:, None],
                 pre_text, n_resp[:, None],
@@ -521,7 +644,7 @@ class MultiStreamEngine:
                 answered.astype(jnp.int32)[:, None],
                 okind.reshape(N, R), ofidx.reshape(N, R),
                 olen.reshape(N, R), out.reshape(N, R * max_new)], axis=1)
-            return cache, packed, pre_text, pre_n
+            return cache, packed, pre_text, pre_n, hist, hcount, stats
 
         def prefill(params, cache, ids, nv, active):
             embeds = llama.embed_tokens(params["llama"], ids, cfg.llama)
@@ -580,6 +703,15 @@ class MultiStreamEngine:
         self._pipe: collections.deque = collections.deque()
         self._carry = None
         self._dev_cache: Dict = {}
+        # spec_decode state: per-stream token-history rings + counts +
+        # accumulated [verify_steps, emitted]. Threaded through every
+        # jitted program (pass-through when off), never read back on the
+        # hot path. Rolled-back pipelined ticks may leave phantom tokens
+        # in a ring — that only perturbs draft quality, never output
+        # (verification makes transcripts greedy-exact).
+        self._hist = jnp.zeros((self.N, gen_mod.SPEC_HIST), jnp.int32)
+        self._hcount = jnp.zeros((self.N,), jnp.int32)
+        self._sstats = jnp.zeros((2,), jnp.int32)
 
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
@@ -603,6 +735,12 @@ class MultiStreamEngine:
 
     def input_query(self, stream: int, query: str, video_time: float):
         self.query_queues[stream].append((video_time, query))
+
+    def spec_stats(self) -> np.ndarray:
+        """[verify_steps, emitted_tokens] accumulated across all streams'
+        spec_decode responses (one device readback; call off the hot
+        path). Mean accepted drafts per step = tokens/steps - 1."""
+        return np.asarray(self._sstats)
 
     def _gather_chunks(self, bursts, active, K: int) -> jax.Array:
         """(N, K, fnt, D) chunk operand. Fast path: every active burst is a
@@ -851,9 +989,11 @@ class MultiStreamEngine:
             for i, prompt in prompts.items():
                 ids[i, P - len(prompt):] = prompt
                 nv[i] = len(prompt)
-            packed, self.cache = self._respond(
+            (packed, self.cache, self._hist, self._hcount,
+             self._sstats) = self._respond(
                 self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
-                jnp.asarray(respond_mask))
+                jnp.asarray(respond_mask), self._hist, self._hcount,
+                self._sstats)
             packed = np.asarray(packed)  # ONE readback
             lengths = packed[:, 0]
             self._host_offsets[:] = packed[:, 1]
@@ -1006,9 +1146,12 @@ class MultiStreamEngine:
             coll["qae_ge"].astype(np.int32),
             coll["qae_after"].astype(np.int32),
             coll["force"].astype(np.int32)], axis=1)
-        return self._tick(
+        (cache, packed, pre_t, pre_n, self._hist, self._hcount,
+         self._sstats) = self._tick(
             self.params, self.cache, text_ids, n_text, frames,
-            jnp.asarray(meta), q_ids, q_nv, g_ids, g_nv)
+            jnp.asarray(meta), q_ids, q_nv, g_ids, g_nv,
+            self._hist, self._hcount, self._sstats)
+        return cache, packed, pre_t, pre_n
 
     def _absorb_tick(self, packed: np.ndarray, coll,
                      frames_popped: bool) -> Dict[int, int]:
@@ -1084,9 +1227,10 @@ class MultiStreamEngine:
             if mask[i]:
                 ids[i, P - len(gen):] = gen
                 nv[i] = len(gen)
-        rp, self.cache = self._respond(
+        (rp, self.cache, self._hist, self._hcount,
+         self._sstats) = self._respond(
             self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
-            jnp.asarray(mask))
+            jnp.asarray(mask), self._hist, self._hcount, self._sstats)
         rp = np.asarray(rp)
         for i in range(N):
             if not mask[i]:
