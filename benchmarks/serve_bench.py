@@ -43,6 +43,9 @@ def main():
     p.add_argument("--ms_spec_decode", action="store_true",
                    help="batched n-gram speculative decoding in the "
                         "multistream responses (greedy-identical)")
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV cache in the multistream engine "
+                        "(shared page pool + per-stream tables)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -161,7 +164,8 @@ def main():
                                    fused=args.ms_mode != "unfused",
                                    pipelined=args.ms_mode == "pipelined",
                                    kv_quant=args.kv_quant or None,
-                                   spec_decode=args.ms_spec_decode)
+                                   spec_decode=args.ms_spec_decode,
+                                   paged=args.paged)
             feats = np.asarray(jax.random.normal(
                 rngf, (per_stream, fnt, cfg.vision_hidden_size),
                 jnp.float32))

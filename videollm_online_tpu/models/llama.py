@@ -213,6 +213,97 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
     )
 
 
+class PagedKVCache(NamedTuple):
+    """Paged KV: a shared physical page pool + per-stream page tables
+    (BASELINE config #4's "paged KV cache"; ops/paged_attention.py).
+
+    k/v: (L, P, Hkv, page, hd) pool shared by all streams; ``table``
+    (B, MAXP) int32 maps stream b's logical page j to a physical pool
+    page; ``offset``/``pos_base`` have the ring cache's exact semantics
+    (models/llama.KVCache) — logical slot i of stream b lives at
+    pool[l, table[b, i // page], :, i % page]. Streams with heterogeneous
+    lengths share the pool (sum-of-usage, not N x max), and window
+    compaction frees whole pages host-side with ZERO device data movement
+    (compact_kv_cache rolls the entire ring instead). The host owns page
+    allocation; appends only ever touch pages the table maps, and the
+    caller must keep one lookahead page mapped whenever a multi-token
+    append may cross a page boundary (serve/multistream.py allocator)."""
+    k: jax.Array
+    v: jax.Array
+    table: jax.Array
+    offset: jax.Array
+    pos_base: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def capacity(self) -> int:  # per-stream logical capacity
+        return self.table.shape[1] * self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return False
+
+
+def init_paged_kv_cache(cfg: LlamaConfig, batch: int, *, pool_pages: int,
+                        pages_per_stream: int, page_size: int = 512,
+                        dtype=None) -> PagedKVCache:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, pool_pages, cfg.num_kv_heads, page_size,
+             cfg.head_dim)
+    return PagedKVCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        table=jnp.zeros((batch, pages_per_stream), jnp.int32),
+        offset=jnp.zeros((batch,), jnp.int32),
+        pos_base=jnp.zeros((batch,), jnp.int32))
+
+
+def _paged_append(pool: jax.Array, l_idx, table, offset, store) -> jax.Array:
+    """Write ``store`` (B, Hkv, S, hd) at logical slots [offset[b],
+    offset[b]+S) of each stream's paged space. S == 1 is a single-row
+    update (the decode hot path, no read-modify-write); multi-token
+    slabs read-modify-write the n consecutive logical pages they can
+    span, skipping the write-back of any page the slab does not actually
+    reach — so an unmapped lookahead entry (the trash page) is only ever
+    written with padding junk, never read back over a foreign page."""
+    B, Hkv, S, hd = store.shape
+    page = pool.shape[3]
+    MAXP = table.shape[1]
+    npages = (S - 1) // page + 2  # worst-case span incl. boundary offset
+    for b in range(B):
+        o = offset[b]
+        p_log = o // page
+        r = o % page
+        slab = store[b][None, None]                   # (1, 1, Hkv, S, hd)
+        if S == 1:
+            pA = table[b, jnp.clip(p_log, 0, MAXP - 1)]
+            pool = jax.lax.dynamic_update_slice(
+                pool, slab, (l_idx, pA, 0, r, 0))
+            continue
+        phys = [table[b, jnp.clip(p_log + j, 0, MAXP - 1)]
+                for j in range(npages)]
+        bufs = [jax.lax.dynamic_slice(
+            pool, (l_idx, phys[j], 0, 0, 0), (1, 1, Hkv, page, hd))
+            for j in range(npages)]
+        buf = jnp.concatenate(bufs, axis=3)           # (.., npages*page, hd)
+        buf = jax.lax.dynamic_update_slice(buf, slab, (0, 0, 0, r, 0))
+        for j in range(npages):
+            part = buf[:, :, :, j * page:(j + 1) * page]
+            if j == 0:
+                pool = jax.lax.dynamic_update_slice(
+                    pool, part, (l_idx, phys[0], 0, 0, 0))
+            else:
+                pool = jax.lax.cond(
+                    r + S > j * page,
+                    lambda p, pt=part, ph=phys[j]:
+                        jax.lax.dynamic_update_slice(
+                            p, pt, (l_idx, ph, 0, 0, 0)),
+                    lambda p: p, pool)
+    return pool
+
+
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-(head, token) symmetric int8: x (..., hd) -> codes int8 (..., hd)
     + scale fp32 (...,) with ``x ≈ codes * scale``."""
@@ -354,6 +445,27 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    if isinstance(kv_ctx, dict):  # paged pool (PagedKVCache)
+        pk, pv = kv_ctx["pk"], kv_ctx["pv"]
+        table, offset, l_idx = (kv_ctx["table"], kv_ctx["offset"],
+                                kv_ctx["l_idx"])
+        pk = _paged_append(pk, l_idx, table, offset, k)
+        pv = _paged_append(pv, l_idx, table, offset, v)
+        from ..ops.paged_attention import paged_attention
+        attn_out = paged_attention(q, pk, pv, table, q_pos, l_idx,
+                                   window=cfg.sliding_window)
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, Hq * hd)
+        h = h + dns(attn_out, "wo")
+        x = rms_norm(h, layer_params["mlp_norm"], cfg.rms_norm_eps)
+        from ..ops import fused_mlp
+        fused = fused_mlp.maybe_fused(x, layer_params, layer_lora)
+        if fused is not None:
+            h = h + fused.astype(h.dtype)
+        else:
+            gate = dns(x, "w_gate")
+            up = dns(x, "w_up")
+            h = h + dns(jax.nn.silu(gate) * up, "w_down")
+        return h, (pk, pv)
     if kv_ctx is not None:
         # (L, B, Hkv, C, hd) x2, (L, B, Hkv, C) fp32 scales x2 (or None
         # when the cache is unquantized), (B,), ()
@@ -480,7 +592,28 @@ def forward(
         layer_rngs = jnp.zeros((cfg.num_layers, 0))
         head_rng = None
 
-    if kv_cache is not None:
+    if isinstance(kv_cache, PagedKVCache):
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+        def body_paged(carry, xs):
+            h, pk, pv = carry
+            layer_params, layer_lora_x, rng_l, l_idx = xs
+            h, (pk, pv) = _layer(
+                h, layer_params, layer_lora_x, cos, sin, attn_pos,
+                {"pk": pk, "pv": pv, "table": kv_cache.table,
+                 "offset": kv_cache.offset, "l_idx": l_idx},
+                cfg, lora_scaling, attn_impl,
+                layer_rng=rng_l if use_dropout else None,
+                lora_dropout=lora_dropout if use_dropout else 0.0)
+            return (h, pk, pv), None
+
+        if remat:
+            body_paged = jax.checkpoint(body_paged)
+        (h, new_pk, new_pv), _ = jax.lax.scan(
+            body_paged, (h, kv_cache.k, kv_cache.v),
+            (params["layers"], layer_lora, layer_rngs, layer_ids))
+        new_kvs = (new_pk, new_pv)
+    elif kv_cache is not None:
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
         def body_kv(carry, xs):
@@ -535,7 +668,13 @@ def forward(
                          drop_rng=head_rng, drop_rate=lora_dropout)
 
     new_cache = None
-    if kv_cache is not None:
+    if isinstance(kv_cache, PagedKVCache):
+        nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
+        new_cache = PagedKVCache(k=new_kvs[0], v=new_kvs[1],
+                                 table=kv_cache.table,
+                                 offset=kv_cache.offset + nv,
+                                 pos_base=kv_cache.pos_base)
+    elif kv_cache is not None:
         nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
         new_cache = KVCache(k=new_kvs[0], v=new_kvs[1],
                             offset=kv_cache.offset + nv,

@@ -69,7 +69,9 @@ class MultiStreamEngine:
                  fused: bool = True, pipelined: bool = False,
                  pipeline_depth: int = 2,
                  kv_quant: Optional[str] = None,
-                 spec_decode: bool = False):
+                 spec_decode: bool = False,
+                 paged: bool = False, page_size: int = 512,
+                 pool_pages: Optional[int] = None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
         # prepend before reading tick i (speculative full consumption,
@@ -81,9 +83,24 @@ class MultiStreamEngine:
         # rings draft K tokens each; ONE verify forward emits 1+accepted
         # greedy-exact tokens per stream per weight-streaming pass.
         # Transcripts are byte-identical to greedy by construction.
+        # paged: shared KV page pool + per-stream page tables
+        # (models/llama.PagedKVCache, BASELINE config #4). kv_capacity
+        # stays the PER-STREAM logical capacity; pool_pages bounds the
+        # PHYSICAL pool (default: full parity with the ring, i.e.
+        # N * ceil(capacity/page) + trash). Passing fewer pool pages is
+        # the point: streams share physical memory by actual usage, and
+        # stream_window compaction FREES pages host-side instead of
+        # rolling the ring on device.
         assert kv_quant in (None, "int8"), kv_quant
+        assert not (paged and kv_quant), \
+            "paged KV does not support kv_quant yet"
         self.kv_quant = kv_quant
         self.spec_decode = spec_decode
+        self.paged = paged
+        self.page_size = page_size
+        self._maxp = -(-kv_capacity // page_size)
+        self.pool_pages = (pool_pages if pool_pages is not None
+                           else num_streams * self._maxp + 1)
         self.fused = fused
         self.pipelined = pipelined
         self.pipeline_depth = max(1, pipeline_depth)
@@ -685,9 +702,23 @@ class MultiStreamEngine:
 
     # ---------------------------------------------------------------- state
     def reset(self):
-        self.cache = llama.init_kv_cache(
-            self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
-            dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
+        if self.paged:
+            self.cache = llama.init_paged_kv_cache(
+                self.cfg.llama, batch=self.N, pool_pages=self.pool_pages,
+                pages_per_stream=self._maxp, page_size=self.page_size,
+                dtype=jnp.dtype(self.cfg.llama.dtype))
+            # host-owned page allocator: pool page 0 is the TRASH page
+            # (unallocated table entries map there, so bucket-padding junk
+            # written past a stream's last real page never corrupts a
+            # foreign page); pages hand out lazily in _ensure_pages
+            self._free_pages = list(range(self.pool_pages - 1, 0, -1))
+            self._table_host = np.zeros((self.N, self._maxp), np.int32)
+            self._pages_alloc = [0] * self.N
+            self._pos_base_host = np.zeros((self.N,), np.int64)
+        else:
+            self.cache = llama.init_kv_cache(
+                self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
+                dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
         self.frame_queues = [collections.deque() for _ in range(self.N)]
         self.query_queues = [collections.deque() for _ in range(self.N)]
         self.prepends: List[List[int]] = [[] for _ in range(self.N)]
@@ -783,6 +814,85 @@ class MultiStreamEngine:
             rows.append(jnp.stack(embs))
         return jnp.stack(rows).astype(jnp.float32)
 
+    # -------------------------------------------------------- page allocator
+    def _ensure_pages(self, idxs, budget: int) -> bool:
+        """Map enough pool pages that each stream in ``idxs`` can append
+        ``budget`` more tokens. Uploads the table once when it changed.
+        Returns False when the pool is exhausted (caller compacts or
+        falls back); never touches pages of in-flight dispatches."""
+        if not self.paged:
+            return True
+        changed = False
+        for i in idxs:
+            need = min(self._maxp,
+                       -(-(int(self._host_offsets[i]) + budget)
+                         // self.page_size))
+            while self._pages_alloc[i] < need:
+                if not self._free_pages:
+                    if changed:
+                        self.cache = self.cache._replace(
+                            table=jnp.asarray(self._table_host))
+                    return False
+                p = self._free_pages.pop()
+                self._table_host[i, self._pages_alloc[i]] = p
+                self._pages_alloc[i] += 1
+                changed = True
+        if changed:
+            self.cache = self.cache._replace(
+                table=jnp.asarray(self._table_host))
+        return True
+
+    def _compact_paged(self):
+        """Page-granular window compaction: FREE every page fully outside
+        the attention window (the window MASK defines semantics — ring
+        compaction keeps exactly `window` slots, paged keeps up to
+        page-1 extra masked slots; transcripts are identical). Zero
+        device data movement: only the table/offset/pos_base scalars
+        change. Caller must have no in-flight pipelined dispatches (they
+        append through the OLD table; freeing could reallocate their
+        pages mid-flight)."""
+        assert not self._pipe, "compact with in-flight paged dispatches"
+        w = self.stream_window
+        if w is None:
+            return
+        changed = False
+        for i in range(self.N):
+            off = int(self._host_offsets[i])
+            d = (off - w) // self.page_size if off > w else 0
+            d = min(d, self._pages_alloc[i])
+            if d <= 0:
+                continue
+            for j in range(d):
+                self._free_pages.append(int(self._table_host[i, j]))
+            na = self._pages_alloc[i]
+            self._table_host[i, :na - d] = self._table_host[i, d:na]
+            self._table_host[i, na - d:] = 0
+            self._pages_alloc[i] = na - d
+            self._host_offsets[i] -= d * self.page_size
+            self._pos_base_host[i] += d * self.page_size
+            changed = True
+        if changed:
+            self.cache = self.cache._replace(
+                table=jnp.asarray(self._table_host),
+                offset=jnp.asarray(self._host_offsets.astype(np.int32)),
+                pos_base=jnp.asarray(self._pos_base_host.astype(np.int32)))
+
+    def _paged_admit(self, idxs, budget: int) -> bool:
+        """Capacity pipeline for one dispatch in paged mode: per-stream
+        logical guard -> page-granular compact -> page allocation.
+        Returns False when the dispatch cannot proceed (caller falls
+        back / raises)."""
+        if not self.paged:
+            return True
+        over = [i for i in idxs
+                if int(self._host_offsets[i]) + budget > self.kv_capacity]
+        if (over or not self._ensure_pages(idxs, budget)) \
+                and not self._pipe:
+            self._compact_paged()
+        over = [i for i in idxs
+                if int(self._host_offsets[i]) + budget > self.kv_capacity]
+        return not over and self._ensure_pages(idxs, budget)
+
     # ------------------------------------------------------------------ tick
     def _prefill_starts(self):
         """System-prompt prefill for streams that still need it, batched."""
@@ -802,6 +912,11 @@ class MultiStreamEngine:
             self._host_offsets[i] += len(s)
         active = np.zeros((self.N,), bool)
         active[todo] = True
+        # host offsets were already advanced above: budget 0 covers the
+        # prefill tokens themselves
+        if not self._paged_admit(todo, 0):
+            raise RuntimeError("paged KV pool exhausted during prefill; "
+                               "raise pool_pages")
         self.cache = self._prefill(self.params, self.cache, jnp.asarray(ids),
                                    jnp.asarray(nv), jnp.asarray(active))
 
@@ -876,8 +991,19 @@ class MultiStreamEngine:
             write_len = (TEXT_BUCKET + self.fnt if max_burst <= 1 else
                          TEXT_BUCKET + K * self.fnt + (K - 1) * itv)
             budget = write_len + PROMPT_BUCKET + self.max_new
-            over = [i for i in range(self.N) if active[i]
-                    and int(self._host_offsets[i]) + budget > self.kv_capacity]
+            if self.paged:
+                idxs = [i for i in range(self.N) if active[i]]
+                if not self._paged_admit(idxs, budget):
+                    for i in idxs:
+                        raise RuntimeError(
+                            f"stream {i}: paged KV pool/logical capacity "
+                            f"exceeded (offset "
+                            f"{int(self._host_offsets[i])}, budget "
+                            f"{budget}); raise kv_capacity/pool_pages or "
+                            f"set stream_window")
+            over = [] if self.paged else [
+                i for i in range(self.N) if active[i]
+                and int(self._host_offsets[i]) + budget > self.kv_capacity]
             if over and self.stream_window is not None:
                 # compact every stream past its window (streams at or under
                 # the window are untouched: keep=min(window, offset))
@@ -1081,8 +1207,13 @@ class MultiStreamEngine:
         itv = 1 if self.cfg.frame_token_interval_id is not None else 0
         budget = (TEXT_BUCKET + K * self.fnt + (K - 1) * itv
                   + R_TICK * (PROMPT_BUCKET + self.max_new))
-        over = [i for i in range(N) if (active[i] or force[i])
-                and int(self._host_offsets[i]) + budget > self.kv_capacity]
+        if self.paged:
+            idxs = [i for i in range(N) if active[i] or force[i]]
+            if not self._paged_admit(idxs, budget):
+                return "fallback"
+        over = [] if self.paged else [
+            i for i in range(N) if (active[i] or force[i])
+            and int(self._host_offsets[i]) + budget > self.kv_capacity]
         if over and self.stream_window is not None:
             self.cache = self._compact_jit(
                 self.cache, jnp.asarray(self.stream_window, jnp.int32))
@@ -1227,6 +1358,10 @@ class MultiStreamEngine:
             if mask[i]:
                 ids[i, P - len(gen):] = gen
                 nv[i] = len(gen)
+        # pages for the fallback response (a subset of the admitted tick
+        # budget after the stop_fire rewind, so this cannot fail)
+        self._ensure_pages([i for i in range(N) if mask[i]],
+                           P + self.max_new)
         (rp, self.cache, self._hist, self._hcount,
          self._sstats) = self._respond(
             self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
@@ -1292,6 +1427,16 @@ class MultiStreamEngine:
                 + coll["budget"]
             if worst > self.kv_capacity:
                 return True
+            if self.paged:
+                # in-flight dispatches append through the CURRENT table:
+                # pages must cover the worst case before dispatching more
+                # (no compaction here — _paged_admit skips it while
+                # dispatches are in flight; the blocked path resolves
+                # everything first)
+                idxs = [i for i in range(self.N)
+                        if coll["active"][i] or coll["force"][i]]
+                if not self._paged_admit(idxs, inflight + coll["budget"]):
+                    return True
             if self._pipe and self._carry is not None:
                 text_ids, n_text = self._carry
             else:
