@@ -177,6 +177,99 @@ def test_multistream_paged_window_frees_pages():
     assert len(ms._free_pages) == total_pages - in_use
 
 
+def test_paged_kernel_quantized_matches_reference():
+    """int8 paged KV: the interpret-mode kernel on code pools + paged
+    scale pools must match (a) the gather reference on the same quantized
+    operands and (b) a dense dequantized attention."""
+    rng = np.random.RandomState(7)
+    B, Hq, Hkv, S, d, page, maxp = 2, 4, 2, 3, 16, 32, 4
+    P = 1 + B * maxp
+    q = jnp.asarray(rng.randn(B, Hq, S, d), jnp.float32)
+    pool_k = jnp.asarray(rng.randn(2, P, Hkv, page, d), jnp.float32)
+    pool_v = jnp.asarray(rng.randn(2, P, Hkv, page, d), jnp.float32)
+    kq, ks = llama.quantize_kv(pool_k)
+    vq, vs = llama.quantize_kv(pool_v)
+    perm = rng.permutation(P - 1) + 1
+    table = jnp.asarray(perm[:B * maxp].reshape(B, maxp), jnp.int32)
+    q_pos = jnp.asarray([[70, 71, 72], [5, 6, 7]], jnp.int32)
+    for layer in (0, 1):
+        for window in (None, 40):
+            ref = paged_attention_reference(
+                q, kq, vq, table, q_pos, layer, window=window,
+                k_scale=ks, v_scale=vs)
+            got = paged_decode_attention(
+                q, kq, vq, table, q_pos, layer, window=window,
+                k_scale=ks, v_scale=vs, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-4)
+            # dense dequant oracle
+            dense = paged_attention_reference(
+                q, kq.astype(jnp.float32) * ks[..., None],
+                vq.astype(jnp.float32) * vs[..., None],
+                table, q_pos, layer, window=window)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                       atol=2e-5, rtol=2e-4)
+
+
+def test_paged_quantized_forward_matches_ring_quantized():
+    """llama.forward with a quantized PAGED cache tracks the quantized
+    RING cache exactly (same quantize-at-append math, different layout)
+    through boundary-crossing appends and 1-token decodes."""
+    cfg = tiny_live_config()
+    params = live.init_params(jax.random.PRNGKey(0), cfg)["llama"]
+    page, maxp = 32, 6
+    B = 2
+    ring = llama.init_kv_cache(cfg.llama, batch=B, capacity=page * maxp,
+                               quant="int8")
+    paged = llama.init_paged_kv_cache(
+        cfg.llama, batch=B, pool_pages=1 + B * maxp, pages_per_stream=maxp,
+        page_size=page, quant="int8")
+    paged = paged._replace(table=_identity_table(B, maxp))
+    assert paged.quantized and paged.k.dtype == jnp.int8
+    rng = np.random.RandomState(5)
+    for S in (24, 24, 11, 1, 1, 30, 1):
+        ids = rng.randint(0, cfg.llama.vocab_size, (2, S))
+        nv = jnp.asarray([S, max(S - 2, 1)], jnp.int32)
+        la, ring = llama.forward(params, cfg=cfg.llama,
+                                 input_ids=jnp.asarray(ids),
+                                 kv_cache=ring, num_valid=nv)
+        lb, paged = llama.forward(params, cfg=cfg.llama,
+                                  input_ids=jnp.asarray(ids),
+                                  kv_cache=paged, num_valid=nv)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   atol=3e-5, rtol=3e-4,
+                                   err_msg=f"append S={S}")
+
+
+def test_multistream_paged_quantized_equals_ring_quantized():
+    """Paged + kv_quant="int8" multistream serving must reproduce the
+    int8-ring engine's transcripts (the oracle-equality discipline within
+    quantized numerics), fused and pipelined, and still free pages under
+    a stream window."""
+    for kw in (dict(fused=True),
+               dict(fused=True, pipelined=True, pipeline_depth=2)):
+        ref_out, got, ms = _drive_pair(
+            dict(kv_capacity=2048, page_size=64, kv_quant="int8", **kw),
+            ring_kwargs=dict(kv_quant="int8", **kw))
+        assert sum(len(o) for o in ref_out) >= 2
+        assert ms.cache.quantized and ms.cache.k.dtype == jnp.int8
+        for i in range(len(ref_out)):
+            assert got[i] == ref_out[i], (
+                f"stream {i} ({kw}):\npaged={got[i]}\nring={ref_out[i]}")
+
+
+def test_multistream_paged_quantized_window_frees_pages():
+    ref_out, got, ms = _drive_pair(
+        dict(kv_capacity=1024, page_size=64, fused=True, kv_quant="int8"),
+        ring_kwargs=dict(fused=True, kv_quant="int8"), threshold=1.0,
+        n_frames=24, window=256)
+    for i in range(len(ref_out)):
+        assert got[i] == ref_out[i]
+    assert ms._pos_base_host.max() > 0
+    in_use = sum(ms._pages_alloc)
+    assert len(ms._free_pages) == ms.pool_pages - 1 - in_use
+
+
 def test_multistream_paged_pool_sharing():
     """The paged win: a pool SMALLER than N x per-stream capacity serves
     heterogeneous streams (one long, one nearly idle) that the same-size

@@ -227,12 +227,22 @@ class PagedKVCache(NamedTuple):
     (compact_kv_cache rolls the entire ring instead). The host owns page
     allocation; appends only ever touch pages the table maps, and the
     caller must keep one lookahead page mapped whenever a multi-token
-    append may cross a page boundary (serve/multistream.py allocator)."""
+    append may cross a page boundary (serve/multistream.py allocator).
+
+    Quantized (int8) mode composes the ring cache's KV quantization with
+    paging: k/v hold int8 codes and ``k_scale``/``v_scale``
+    (L, P, Hkv, page) fp32 pools hold the per-token-per-head symmetric
+    scales, paged exactly like the codes. Appends quantize at write; the
+    paged Pallas kernel dequantizes at read (scales fold into
+    logits/probs rows) — pool memory AND KV HBM reads halve on top of
+    the paging memory win."""
     k: jax.Array
     v: jax.Array
     table: jax.Array
     offset: jax.Array
     pos_base: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def page_size(self) -> int:
@@ -244,18 +254,29 @@ class PagedKVCache(NamedTuple):
 
     @property
     def quantized(self) -> bool:
-        return False
+        return self.k_scale is not None
 
 
 def init_paged_kv_cache(cfg: LlamaConfig, batch: int, *, pool_pages: int,
                         pages_per_stream: int, page_size: int = 512,
-                        dtype=None) -> PagedKVCache:
+                        dtype=None, quant: Optional[str] = None
+                        ) -> PagedKVCache:
     dtype = dtype or jnp.dtype(cfg.dtype)
     shape = (cfg.num_layers, pool_pages, cfg.num_kv_heads, page_size,
              cfg.head_dim)
+    table = jnp.zeros((batch, pages_per_stream), jnp.int32)
+    if quant is not None:
+        assert quant == "int8", f"unsupported kv quant {quant!r}"
+        return PagedKVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            table=table,
+            offset=jnp.zeros((batch,), jnp.int32),
+            pos_base=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32))
     return PagedKVCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-        table=jnp.zeros((batch, pages_per_stream), jnp.int32),
+        table=table,
         offset=jnp.zeros((batch,), jnp.int32),
         pos_base=jnp.zeros((batch,), jnp.int32))
 
@@ -267,39 +288,45 @@ def _paged_append(pool: jax.Array, l_idx, table, offset, store) -> jax.Array:
     slabs read-modify-write the n consecutive logical pages they can
     span, skipping the write-back of any page the slab does not actually
     reach — so an unmapped lookahead entry (the trash page) is only ever
-    written with padding junk, never read back over a foreign page."""
-    B, Hkv, S, hd = store.shape
+    written with padding junk, never read back over a foreign page.
+
+    Also handles the rank-4 SCALE pools of the quantized paged cache
+    (pool (L, P, Hkv, page) + store (B, Hkv, S)) — same slot addressing,
+    one fewer trailing dim."""
+    B, Hkv, S = store.shape[:3]
     page = pool.shape[3]
     MAXP = table.shape[1]
+    tail = (0,) * (pool.ndim - 4)                     # () for scale pools
+    slab_sizes = (1, 1, Hkv, page) + pool.shape[4:]
     npages = (S - 1) // page + 2  # worst-case span incl. boundary offset
     for b in range(B):
         o = offset[b]
         p_log = o // page
         r = o % page
-        slab = store[b][None, None]                   # (1, 1, Hkv, S, hd)
+        slab = store[b][None, None]                   # (1, 1, Hkv, S[, hd])
         if S == 1:
             pA = table[b, jnp.clip(p_log, 0, MAXP - 1)]
             pool = jax.lax.dynamic_update_slice(
-                pool, slab, (l_idx, pA, 0, r, 0))
+                pool, slab, (l_idx, pA, 0, r) + tail)
             continue
         phys = [table[b, jnp.clip(p_log + j, 0, MAXP - 1)]
                 for j in range(npages)]
         bufs = [jax.lax.dynamic_slice(
-            pool, (l_idx, phys[j], 0, 0, 0), (1, 1, Hkv, page, hd))
+            pool, (l_idx, phys[j], 0, 0) + tail, slab_sizes)
             for j in range(npages)]
-        buf = jnp.concatenate(bufs, axis=3)           # (.., npages*page, hd)
-        buf = jax.lax.dynamic_update_slice(buf, slab, (0, 0, 0, r, 0))
+        buf = jnp.concatenate(bufs, axis=3)           # (.., npages*page[, hd])
+        buf = jax.lax.dynamic_update_slice(buf, slab, (0, 0, 0, r) + tail)
         for j in range(npages):
             part = buf[:, :, :, j * page:(j + 1) * page]
             if j == 0:
                 pool = jax.lax.dynamic_update_slice(
-                    pool, part, (l_idx, phys[0], 0, 0, 0))
+                    pool, part, (l_idx, phys[0], 0, 0) + tail)
             else:
                 pool = jax.lax.cond(
                     r + S > j * page,
                     lambda p, pt=part, ph=phys[j]:
                         jax.lax.dynamic_update_slice(
-                            p, pt, (l_idx, ph, 0, 0, 0)),
+                            p, pt, (l_idx, ph, 0, 0) + tail),
                     lambda p: p, pool)
     return pool
 
@@ -447,13 +474,20 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
 
     if isinstance(kv_ctx, dict):  # paged pool (PagedKVCache)
         pk, pv = kv_ctx["pk"], kv_ctx["pv"]
+        pks, pvs = kv_ctx.get("pks"), kv_ctx.get("pvs")
         table, offset, l_idx = (kv_ctx["table"], kv_ctx["offset"],
                                 kv_ctx["l_idx"])
+        if pks is not None:  # int8 paged KV: quantize at append
+            k, k_sc = quantize_kv(k)
+            v, v_sc = quantize_kv(v)
+            pks = _paged_append(pks, l_idx, table, offset, k_sc)
+            pvs = _paged_append(pvs, l_idx, table, offset, v_sc)
         pk = _paged_append(pk, l_idx, table, offset, k)
         pv = _paged_append(pv, l_idx, table, offset, v)
         from ..ops.paged_attention import paged_attention
         attn_out = paged_attention(q, pk, pv, table, q_pos, l_idx,
-                                   window=cfg.sliding_window)
+                                   window=cfg.sliding_window,
+                                   k_scale=pks, v_scale=pvs)
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, Hq * hd)
         h = h + dns(attn_out, "wo")
         x = rms_norm(h, layer_params["mlp_norm"], cfg.rms_norm_eps)
@@ -465,7 +499,7 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
             gate = dns(x, "w_gate")
             up = dns(x, "w_up")
             h = h + dns(jax.nn.silu(gate) * up, "w_down")
-        return h, (pk, pv)
+        return h, (pk, pv, pks, pvs)
     if kv_ctx is not None:
         # (L, B, Hkv, C, hd) x2, (L, B, Hkv, C) fp32 scales x2 (or None
         # when the cache is unquantized), (B,), ()
@@ -596,23 +630,25 @@ def forward(
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
         def body_paged(carry, xs):
-            h, pk, pv = carry
+            h, pk, pv, pks, pvs = carry
             layer_params, layer_lora_x, rng_l, l_idx = xs
-            h, (pk, pv) = _layer(
+            h, (pk, pv, pks, pvs) = _layer(
                 h, layer_params, layer_lora_x, cos, sin, attn_pos,
-                {"pk": pk, "pv": pv, "table": kv_cache.table,
+                {"pk": pk, "pv": pv, "pks": pks, "pvs": pvs,
+                 "table": kv_cache.table,
                  "offset": kv_cache.offset, "l_idx": l_idx},
                 cfg, lora_scaling, attn_impl,
                 layer_rng=rng_l if use_dropout else None,
                 lora_dropout=lora_dropout if use_dropout else 0.0)
-            return (h, pk, pv), None
+            return (h, pk, pv, pks, pvs), None
 
         if remat:
             body_paged = jax.checkpoint(body_paged)
-        (h, new_pk, new_pv), _ = jax.lax.scan(
-            body_paged, (h, kv_cache.k, kv_cache.v),
+        (h, new_pk, new_pv, new_pks, new_pvs), _ = jax.lax.scan(
+            body_paged,
+            (h, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale),
             (params["layers"], layer_lora, layer_rngs, layer_ids))
-        new_kvs = (new_pk, new_pv)
+        new_kvs = (new_pk, new_pv, new_pks, new_pvs)
     elif kv_cache is not None:
         layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
@@ -673,7 +709,8 @@ def forward(
         new_cache = PagedKVCache(k=new_kvs[0], v=new_kvs[1],
                                  table=kv_cache.table,
                                  offset=kv_cache.offset + nv,
-                                 pos_base=kv_cache.pos_base)
+                                 pos_base=kv_cache.pos_base,
+                                 k_scale=new_kvs[2], v_scale=new_kvs[3])
     elif kv_cache is not None:
         nv = num_valid if num_valid is not None else jnp.full((B,), S, jnp.int32)
         new_cache = KVCache(k=new_kvs[0], v=new_kvs[1],

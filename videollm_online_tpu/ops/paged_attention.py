@@ -33,8 +33,12 @@ NEG_INF = -1e30
 PAGE_SIZE = 512  # slots per page = the proven ring block_k (v5e)
 
 
-def _kernel(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, page, rows, n_batch, window=None):
+def _kernel(meta_ref, qpos_ref, q_ref, k_ref, v_ref, *rest,
+            page, rows, n_batch, window=None, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
     h = pl.program_id(1)
     ki = pl.program_id(2)
@@ -52,11 +56,18 @@ def _kernel(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         q = q_ref[0, 0]                               # (rows, d)
         k = k_ref[0, 0, 0]                            # (page, d)
-        v = v_ref[0, 0, 0]
+        if quantized:
+            # int8 codes -> bf16 RAW; per-slot scales fold into the
+            # logits/probs rows (ring kernel discipline: MXU operands
+            # stay bf16, HBM reads stay int8)
+            k = k.astype(jnp.float32).astype(q.dtype)
         scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (rows, page)
+        if quantized:
+            # this head's per-slot scales: (1, page) row of (Hkv, page)
+            s = s * ks_ref[0, 0, pl.ds(h, 1), :]
         # logical slot index of column j = ki*page + j; visible iff
         # slot <= q_pos (slot-relative positions, pos_base already removed)
         slot = ki * page + jax.lax.broadcasted_iota(jnp.int32,
@@ -74,8 +85,14 @@ def _kernel(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.exp(s - m_new)
         l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, -1, keepdims=True)
         m_ref[:, :1] = m_new
+        if quantized:
+            pv = (p * vs_ref[0, 0, pl.ds(h, 1), :]).astype(q_ref.dtype)
+            v = v_ref[0, 0, 0].astype(jnp.float32).astype(q_ref.dtype)
+        else:
+            pv = p.astype(v_ref.dtype)
+            v = v_ref[0, 0, 0]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(ki == pl.num_programs(2) - 1)
@@ -85,18 +102,24 @@ def _kernel(meta_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def paged_decode_attention(q, pool_k, pool_v, table, q_pos, layer, *,
-                           window=None, interpret: bool = None):
+                           window=None, interpret: bool = None,
+                           k_scale=None, v_scale=None):
     """q: (B, Hq, S, d); pool_k/pool_v: (L, P, Hkv, page, d); table:
     (B, MAXP) int32 physical page per logical page; q_pos: (B, S)
     slot-relative query positions; layer: int32 scalar. Logical slot j of
     stream b lives at pool[layer, table[b, j // page], :, j % page]; slot
     j is visible iff j <= q_pos (and > q_pos - window when windowed).
-    Returns (B, Hq, S, d)."""
+    Returns (B, Hq, S, d).
+
+    int8 KV: pass pools as int8 codes + k_scale/v_scale (L, P, Hkv, page)
+    fp32 scale pools (paged like the codes); the kernel dequantizes
+    in-VMEM so HBM page reads stay int8."""
     B, Hq, S, d = q.shape
     L, P, Hkv, page, _ = pool_k.shape
     MAXP = table.shape[1]
     G = Hq // Hkv
     rows = G * S
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
@@ -119,15 +142,28 @@ def paged_decode_attention(q, pool_k, pool_v, table, q_pos, layer, *,
         kc = jnp.clip(ki, meta[1 + B + b], meta[1 + b] - 1)
         return (meta[0], meta[1 + 2 * B + b * MAXP + kc], h, 0, 0)
 
+    def sc_map(b, h, ki, meta):
+        # full-Hkv sublane block (Mosaic block rules); head row selected
+        # in-kernel
+        kc = jnp.clip(ki, meta[1 + B + b], meta[1 + b] - 1)
+        return (meta[0], meta[1 + 2 * B + b * MAXP + kc], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
+        pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, page, d), kv_map),
+        pl.BlockSpec((1, 1, 1, page, d), kv_map),
+    ]
+    operands = [meta, qpos_rows, qg, pool_k, pool_v]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, Hkv, page), sc_map),
+                     pl.BlockSpec((1, 1, Hkv, page), sc_map)]
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, MAXP),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows), lambda b, h, ki, meta: (b, 0, 0)),
-            pl.BlockSpec((1, 1, rows, d), lambda b, h, ki, meta: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, page, d), kv_map),
-            pl.BlockSpec((1, 1, 1, page, d), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, d),
                                lambda b, h, ki, meta: (b, h, 0, 0)),
         scratch_shapes=[
@@ -138,18 +174,19 @@ def paged_decode_attention(q, pool_k, pool_v, table, q_pos, layer, *,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, page=page, rows=rows, n_batch=B,
-                          window=window),
+                          window=window, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rows, d), q.dtype),
         interpret=interpret,
-    )(meta, qpos_rows, qg, pool_k, pool_v)
+    )(*operands)
     return out.reshape(B, Hkv, G, S, d).reshape(B, Hq, S, d)
 
 
 def paged_attention_reference(q, pool_k, pool_v, table, q_pos, layer, *,
-                              window=None):
+                              window=None, k_scale=None, v_scale=None):
     """XLA gather fallback (CPU tests / non-TPU backends): materialize each
-    stream's logical KV from its pages, then masked attention."""
+    stream's logical KV from its pages (dequantizing int8 codes with their
+    paged scales when given), then masked attention."""
     B, Hq, S, d = q.shape
     L, P, Hkv, page, _ = pool_k.shape
     MAXP = table.shape[1]
@@ -159,6 +196,13 @@ def paged_attention_reference(q, pool_k, pool_v, table, q_pos, layer, *,
     # (B, MAXP, Hkv, page, d) -> (B, Hkv, MAXP*page, d)
     kg = k_l[table].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, MAXP * page, d)
     vg = v_l[table].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, MAXP * page, d)
+    if k_scale is not None:
+        ks_l = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+        vs_l = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+        ksg = ks_l[table].transpose(0, 2, 1, 3).reshape(B, Hkv, MAXP * page)
+        vsg = vs_l[table].transpose(0, 2, 1, 3).reshape(B, Hkv, MAXP * page)
+        kg = kg.astype(jnp.float32) * ksg[..., None]
+        vg = vg.astype(jnp.float32) * vsg[..., None]
     qf = q.astype(jnp.float32).reshape(B, Hkv, G * S, d)
     s = jnp.einsum("bhrd,bhcd->bhrc", qf, kg.astype(jnp.float32))
     s = s / jnp.sqrt(jnp.float32(d))
@@ -175,12 +219,14 @@ def paged_attention_reference(q, pool_k, pool_v, table, q_pos, layer, *,
 
 
 def paged_attention(q, pool_k, pool_v, table, q_pos, layer, *,
-                    window=None):
+                    window=None, k_scale=None, v_scale=None):
     """Backend dispatch: Pallas kernel on TPU, gather reference elsewhere
     (interpret-mode Pallas does not catch Mosaic legality and is slow for
     the CPU suite)."""
     if jax.default_backend() == "tpu":
         return paged_decode_attention(q, pool_k, pool_v, table, q_pos,
-                                      layer, window=window)
+                                      layer, window=window,
+                                      k_scale=k_scale, v_scale=v_scale)
     return paged_attention_reference(q, pool_k, pool_v, table, q_pos,
-                                     layer, window=window)
+                                     layer, window=window,
+                                     k_scale=k_scale, v_scale=v_scale)

@@ -91,9 +91,10 @@ class MultiStreamEngine:
         # the point: streams share physical memory by actual usage, and
         # stream_window compaction FREES pages host-side instead of
         # rolling the ring on device.
+        # kv_quant composes with paged: int8 code pools + paged fp32 scale
+        # pools (models/llama.PagedKVCache quantized mode) — the memory
+        # win multiplies (pool sized by usage AND half-byte slots).
         assert kv_quant in (None, "int8"), kv_quant
-        assert not (paged and kv_quant), \
-            "paged KV does not support kv_quant yet"
         self.kv_quant = kv_quant
         self.spec_decode = spec_decode
         self.paged = paged
@@ -706,7 +707,7 @@ class MultiStreamEngine:
             self.cache = llama.init_paged_kv_cache(
                 self.cfg.llama, batch=self.N, pool_pages=self.pool_pages,
                 pages_per_stream=self._maxp, page_size=self.page_size,
-                dtype=jnp.dtype(self.cfg.llama.dtype))
+                dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
             # host-owned page allocator: pool page 0 is the TRASH page
             # (unallocated table entries map there, so bucket-padding junk
             # written past a stream's last real page never corrupts a
@@ -1514,3 +1515,4 @@ class MultiStreamEngine:
                 or any(q for q in self.query_queues)
                 or any(q for q in self._resp_out)
                 or bool(self._pipe))
+
