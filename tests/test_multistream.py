@@ -303,3 +303,54 @@ def test_multistream_fused_slot_overflow():
             assert got_out[i] == ref_out[i], (
                 f"pipe={pipe} stream {i}:\nfused={got_out[i]}\n"
                 f"unfused={ref_out[i]}")
+
+
+def test_close_stream_reuses_slot():
+    """close_stream (continuous batching): ending a dialogue returns its
+    transcript, frees its pages (paged mode), and the slot serves a NEW
+    dialogue whose transcript exactly equals the same dialogue driven in
+    a fresh engine — while the sibling stream's state is untouched."""
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    rng = np.random.RandomState(41)
+
+    def mk(n):
+        return rng.randn(n, cfg.frame_num_tokens,
+                         cfg.vision_hidden_size).astype(np.float32)
+
+    A, B, C = mk(8), mk(8), mk(8)
+    none = np.zeros((0, cfg.frame_num_tokens, cfg.vision_hidden_size),
+                    np.float32)
+    schedule = [0.0, 1.5, 3.0, 5.0]
+    for kw in (dict(),
+               dict(paged=True, page_size=64),
+               dict(paged=True, page_size=64, pipelined=True,
+                    pipeline_depth=2, kv_quant="int8")):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                               kv_capacity=1024, chunk_frames=4, **kw)
+        # phase 1: dialogue A on slot 0, dialogue B on slot 1
+        out1 = _drive(ms, [A, B], {0: (1.2, "what now?")}, schedule,
+                      cfg.frame_fps)
+        assert len(out1[0]) >= 1
+        tA = ms.close_stream(0)
+        assert tA == out1[0], f"returned transcript mismatch ({kw})"
+        assert ms.transcripts[0] == [] and not ms.pending()
+        if kw.get("paged"):
+            assert ms._pages_alloc[0] == 0, "pages not freed at close"
+            assert ms._pages_alloc[1] > 0, "sibling pages must survive"
+        assert int(np.asarray(ms.cache.offset)[0]) == 0
+        assert int(np.asarray(ms.cache.offset)[1]) > 0
+
+        # phase 2: NEW dialogue C in the reused slot 0; slot 1 idle
+        out2 = _drive(ms, [C, none], {0: (0.9, "anything?")}, schedule,
+                      cfg.frame_fps)
+        assert out2[1] == []
+
+        # oracle: C in a fresh engine's slot 0 produces the same transcript
+        fresh = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                                  kv_capacity=1024, chunk_frames=4, **kw)
+        ref = _drive(fresh, [C, none], {0: (0.9, "anything?")}, schedule,
+                     cfg.frame_fps)
+        assert out2[0] == ref[0], (
+            f"reused-slot transcript diverged ({kw}):\n"
+            f"reused={out2[0]}\nfresh={ref[0]}")
+        assert len(out2[0]) >= 1

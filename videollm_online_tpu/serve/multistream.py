@@ -1516,3 +1516,44 @@ class MultiStreamEngine:
                 or any(q for q in self._resp_out)
                 or bool(self._pipe))
 
+    def close_stream(self, i: int) -> List[Tuple[Optional[str], str]]:
+        """End stream ``i``'s dialogue and return its transcript. The slot
+        becomes immediately reusable for a NEW dialogue (continuous
+        batching — the reference serves exactly one dialogue per process,
+        demo/inference.py:84 ``reset``): the next ``input_frames(i, ...)``
+        re-prefills the system prompt, and sibling streams' caches are
+        never touched. In paged mode the stream's pages return to the
+        shared pool at close, so a finished dialogue's memory immediately
+        serves the live ones. Off the hot path: one small device readback
+        + one upload."""
+        # in-flight pipelined ticks append through the current
+        # table/offsets; resolve them before mutating slot state
+        while self._pipe:
+            self._pipe_resolve()
+        self._carry = None
+        out = self.transcripts[i]
+        self.transcripts[i] = []
+        self.frame_queues[i].clear()
+        self.query_queues[i].clear()
+        self.prepends[i] = []
+        self._resp_out[i].clear()
+        self._needs_prefill[i] = True
+        self._host_offsets[i] = 0
+        if self.paged:
+            for j in range(self._pages_alloc[i]):
+                self._free_pages.append(int(self._table_host[i, j]))
+            self._table_host[i] = 0
+            self._pages_alloc[i] = 0
+            self._pos_base_host[i] = 0
+            self.cache = self.cache._replace(
+                table=jnp.asarray(self._table_host))
+        off = np.asarray(self.cache.offset).copy()
+        pb = np.asarray(self.cache.pos_base).copy()
+        off[i] = 0
+        pb[i] = 0
+        self.cache = self.cache._replace(offset=jnp.asarray(off),
+                                         pos_base=jnp.asarray(pb))
+        # spec-decode history is per-dialogue: clear the slot's ring
+        self._hist = self._hist.at[i].set(0)
+        self._hcount = self._hcount.at[i].set(0)
+        return out
