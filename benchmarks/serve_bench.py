@@ -43,9 +43,14 @@ def main():
     p.add_argument("--ms_spec_decode", action="store_true",
                    help="batched n-gram speculative decoding in the "
                         "multistream responses (greedy-identical)")
-    p.add_argument("--paged", action="store_true",
-                   help="paged KV cache in the multistream engine "
-                        "(shared page pool + per-stream tables)")
+    p.add_argument("--paged", action="store_true", default=None,
+                   help="force the paged KV cache in the multistream "
+                        "engine (auto-on by default at bench capacities — "
+                        "the batched ring append stops aliasing in place "
+                        "past ~1k capacity, benchmarks/ring_vs_paged_fwd)")
+    p.add_argument("--ring", action="store_true",
+                   help="force the static ring KV in the multistream "
+                        "engine (A/B against --paged)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -165,7 +170,7 @@ def main():
                                    pipelined=args.ms_mode == "pipelined",
                                    kv_quant=args.kv_quant or None,
                                    spec_decode=args.ms_spec_decode,
-                                   paged=args.paged)
+                                   paged=False if args.ring else args.paged)
             feats = np.asarray(jax.random.normal(
                 rngf, (per_stream, fnt, cfg.vision_hidden_size),
                 jnp.float32))
@@ -183,20 +188,23 @@ def main():
                     results = ms.step()
                     responses += sum(r is not None for r in results)
                     ticks += 1
-                return responses
+                return responses, ticks
 
             progress("compiling multistream engine...")
             run_ms()  # warmup/compile
             progress("measuring multistream aggregate FPS...")
             t0 = time.perf_counter()
-            responses = run_ms()
+            responses, ticks = run_ms()
             dt = time.perf_counter() - t0
             agg = args.streams * per_stream / dt
             report["multistream_streams"] = args.streams
+            report["multistream_paged"] = ms.paged
             report["multistream_aggregate_fps"] = round(agg, 1)
             report["multistream_responses"] = responses
+            report["multistream_ticks"] = ticks
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
-                     f"{args.streams} streams ({responses} responses)")
+                     f"{args.streams} streams ({responses} responses, "
+                     f"{ticks} ticks)")
             if args.ms_spec_decode:
                 steps, emitted = (int(x) for x in ms.spec_stats())
                 report["multistream_spec_tokens_per_step"] = round(

@@ -321,7 +321,7 @@ def test_close_stream_reuses_slot():
     none = np.zeros((0, cfg.frame_num_tokens, cfg.vision_hidden_size),
                     np.float32)
     schedule = [0.0, 1.5, 3.0, 5.0]
-    for kw in (dict(),
+    for kw in (dict(paged=False),
                dict(paged=True, page_size=64),
                dict(paged=True, page_size=64, pipelined=True,
                     pipeline_depth=2, kv_quant="int8")):

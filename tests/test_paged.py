@@ -135,7 +135,7 @@ def _drive_pair(paged_kwargs, ring_kwargs=None, threshold=0.725, seed=9,
     queries = {0: (1.2, "what now?")}
     schedule = [0.0, 1.5, 3.0, 5.0, 8.0]
     common = dict(num_streams=N, chunk_frames=4, stream_window=window)
-    ref = MultiStreamEngine(params, tok, cfg, kv_capacity=2048,
+    ref = MultiStreamEngine(params, tok, cfg, kv_capacity=2048, paged=False,
                             **common, **(ring_kwargs or {}))
     ref_out = _drive(ref, feats, queries, schedule, cfg.frame_fps)
     ms = MultiStreamEngine(params, tok, cfg, paged=True, **common,

@@ -70,7 +70,7 @@ class MultiStreamEngine:
                  pipeline_depth: int = 2,
                  kv_quant: Optional[str] = None,
                  spec_decode: bool = False,
-                 paged: bool = False, page_size: int = 512,
+                 paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
@@ -94,9 +94,24 @@ class MultiStreamEngine:
         # kv_quant composes with paged: int8 code pools + paged fp32 scale
         # pools (models/llama.PagedKVCache quantized mode) — the memory
         # win multiplies (pool sized by usage AND half-byte slots).
+        #
+        # paged=None (default) resolves automatically: paged is ALSO the
+        # fast layout at B>1 — the batched ring's per-stream
+        # dynamic_update_slice append chain on (L, B, Hkv, C, hd) stops
+        # aliasing in place past a capacity threshold (measured on v5e at
+        # 8B/B=8: +58 ms per 44-token forward at C=2560 vs +3 ms at
+        # C=1024 over the 34.6 ms compute floor; paged stays at +10 —
+        # benchmarks/ring_vs_paged_fwd.py), worth +37% aggregate FPS in
+        # the fused tick at identical tick counts. The ring remains the
+        # right layout when page-granular window compaction cannot keep up
+        # (tight capacity: ring compaction is slot-granular), so auto
+        # picks paged iff capacity fits >= 2 pages beyond any window.
         assert kv_quant in (None, "int8"), kv_quant
         self.kv_quant = kv_quant
         self.spec_decode = spec_decode
+        if paged is None:
+            need = 2 * page_size + (stream_window or 0)
+            paged = kv_capacity >= need
         self.paged = paged
         self.page_size = page_size
         self._maxp = -(-kv_capacity // page_size)
