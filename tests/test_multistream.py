@@ -354,3 +354,72 @@ def test_close_stream_reuses_slot():
             f"reused-slot transcript diverged ({kw}):\n"
             f"reused={out2[0]}\nfresh={ref[0]}")
         assert len(out2[0]) >= 1
+
+
+def test_fork_stream_branches_dialogue():
+    """fork_stream: slot dst continues src's exact context via shared
+    (refcounted) full pages + a copied tail page. Oracle: each branch's
+    transcript equals an unforked engine driven with prefix+that
+    continuation. Closing src afterwards must not disturb dst (shared
+    pages survive via refcounts)."""
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    rng = np.random.RandomState(43)
+
+    def mk(n):
+        return rng.randn(n, cfg.frame_num_tokens,
+                         cfg.vision_hidden_size).astype(np.float32)
+
+    prefix, contA, contB, tail = mk(8), mk(6), mk(6), mk(4)
+
+    def drive_until_idle(ms, n=96):
+        for _ in range(n):
+            ms.step()
+            if not ms.pending():
+                break
+        assert not ms.pending()
+
+    for kw in (dict(paged=True, page_size=64),
+               dict(paged=True, page_size=64, kv_quant="int8",
+                    pipelined=True, pipeline_depth=2)):
+        eng = dict(num_streams=3, kv_capacity=2048, chunk_frames=4, **kw)
+        ms = MultiStreamEngine(params, tok, cfg, **eng)
+        ms.input_frames(0, 0.0, prefix)
+        ms.input_query(0, "what now?", video_time=1.2)
+        drive_until_idle(ms)
+        ms.fork_stream(0, 1)
+        # shared full pages are counted twice; tail copy is private
+        shared = int(ms._host_offsets[0]) // ms.page_size
+        assert shared >= 1
+        assert np.sum(ms._page_refs == 2) == shared
+        assert ms._host_offsets[1] == ms._host_offsets[0]
+        assert ms.transcripts[1] == ms.transcripts[0]
+        ms.input_frames(0, 4.0, contA)
+        ms.input_query(0, "continue a?", video_time=4.5)
+        ms.input_frames(1, 4.0, contB)
+        ms.input_query(1, "continue b?", video_time=4.5)
+        drive_until_idle(ms)
+
+        for cont, q, slot in ((contA, "continue a?", 0),
+                              (contB, "continue b?", 1)):
+            ref = MultiStreamEngine(params, tok, cfg, **eng)
+            ref.input_frames(0, 0.0, prefix)
+            ref.input_query(0, "what now?", video_time=1.2)
+            drive_until_idle(ref)
+            ref.input_frames(0, 4.0, cont)
+            ref.input_query(0, q, video_time=4.5)
+            drive_until_idle(ref)
+            assert ms.transcripts[slot] == ref.transcripts[0], (
+                f"branch {slot} ({kw}):\nforked={ms.transcripts[slot]}\n"
+                f"fresh={ref.transcripts[0]}")
+
+        # close src: shared pages must survive for dst; dst keeps serving
+        before = ms.transcripts[1][:]
+        ms.close_stream(0)
+        assert np.sum(ms._page_refs == 2) == 0  # dst now sole owner
+        assert np.all(ms._page_refs >= 0)
+        ms.input_frames(1, 8.0, tail)
+        drive_until_idle(ms)
+        assert ms.transcripts[1][:len(before)] == before
+        # full accounting: free list + live refs cover the whole pool
+        live = int(np.sum(ms._page_refs > 0))
+        assert len(ms._free_pages) == ms.pool_pages - 1 - live

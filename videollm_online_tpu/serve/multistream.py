@@ -726,11 +726,15 @@ class MultiStreamEngine:
             # host-owned page allocator: pool page 0 is the TRASH page
             # (unallocated table entries map there, so bucket-padding junk
             # written past a stream's last real page never corrupts a
-            # foreign page); pages hand out lazily in _ensure_pages
+            # foreign page); pages hand out lazily in _ensure_pages.
+            # _page_refs: per-physical-page refcount — fork_stream aliases
+            # a dialogue's FULL pages into another slot's table, so a page
+            # returns to the free list only when its last owner drops it.
             self._free_pages = list(range(self.pool_pages - 1, 0, -1))
             self._table_host = np.zeros((self.N, self._maxp), np.int32)
             self._pages_alloc = [0] * self.N
             self._pos_base_host = np.zeros((self.N,), np.int64)
+            self._page_refs = np.zeros((self.pool_pages,), np.int32)
         else:
             self.cache = llama.init_kv_cache(
                 self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
@@ -850,6 +854,7 @@ class MultiStreamEngine:
                             table=jnp.asarray(self._table_host))
                     return False
                 p = self._free_pages.pop()
+                self._page_refs[p] = 1
                 self._table_host[i, self._pages_alloc[i]] = p
                 self._pages_alloc[i] += 1
                 changed = True
@@ -879,7 +884,7 @@ class MultiStreamEngine:
             if d <= 0:
                 continue
             for j in range(d):
-                self._free_pages.append(int(self._table_host[i, j]))
+                self._unref_page(int(self._table_host[i, j]))
             na = self._pages_alloc[i]
             self._table_host[i, :na - d] = self._table_host[i, d:na]
             self._table_host[i, na - d:] = 0
@@ -1556,7 +1561,7 @@ class MultiStreamEngine:
         self._host_offsets[i] = 0
         if self.paged:
             for j in range(self._pages_alloc[i]):
-                self._free_pages.append(int(self._table_host[i, j]))
+                self._unref_page(int(self._table_host[i, j]))
             self._table_host[i] = 0
             self._pages_alloc[i] = 0
             self._pos_base_host[i] = 0
@@ -1572,3 +1577,72 @@ class MultiStreamEngine:
         self._hist = self._hist.at[i].set(0)
         self._hcount = self._hcount.at[i].set(0)
         return out
+
+    def _unref_page(self, p: int):
+        self._page_refs[p] -= 1
+        assert self._page_refs[p] >= 0, f"page {p} over-freed"
+        if self._page_refs[p] == 0:
+            self._free_pages.append(p)
+
+    def fork_stream(self, src: int, dst: int):
+        """Fork dialogue ``src`` into slot ``dst`` (paged mode only):
+        ``dst`` continues from the exact same context — full pages are
+        SHARED via table aliasing (refcounted; zero data movement) and
+        only the partial tail page is copied (copy-on-write boundary:
+        appends only ever write at slots >= offset, which lie in the
+        private tail page or beyond, so a shared full page is never
+        written). Enables A/B continuations and multi-user serving over
+        one ingested stream — the reference cannot fork a dialogue at all
+        (one process, one growing torch cache, demo/inference.py:84).
+        ``dst`` must be a fresh/closed slot."""
+        assert self.paged, "fork_stream requires the paged KV layout"
+        assert src != dst
+        assert self._pages_alloc[dst] == 0 and not self.frame_queues[dst] \
+            and int(self._host_offsets[dst]) == 0, \
+            "fork target must be a fresh or closed slot"
+        # in-flight pipelined ticks may rewind offsets; fork after resolve
+        while self._pipe:
+            self._pipe_resolve()
+        self._carry = None
+        off = int(self._host_offsets[src])
+        full = off // self.page_size
+        r = off % self.page_size
+        for j in range(full):
+            p = int(self._table_host[src, j])
+            self._page_refs[p] += 1
+            self._table_host[dst, j] = p
+        alloc = full
+        if r > 0:
+            # private copy of the partial tail page (k/v/scale pools alike)
+            if not self._free_pages:
+                raise RuntimeError("paged KV pool exhausted in fork_stream")
+            p_new = self._free_pages.pop()
+            self._page_refs[p_new] = 1
+            p_old = int(self._table_host[src, full])
+            cache = self.cache
+            upd = {"k": cache.k.at[:, p_new].set(cache.k[:, p_old]),
+                   "v": cache.v.at[:, p_new].set(cache.v[:, p_old])}
+            if cache.quantized:
+                upd["k_scale"] = cache.k_scale.at[:, p_new].set(
+                    cache.k_scale[:, p_old])
+                upd["v_scale"] = cache.v_scale.at[:, p_new].set(
+                    cache.v_scale[:, p_old])
+            self.cache = cache._replace(**upd)
+            self._table_host[dst, full] = p_new
+            alloc = full + 1
+        self._pages_alloc[dst] = alloc
+        self._host_offsets[dst] = off
+        self._pos_base_host[dst] = self._pos_base_host[src]
+        offs = np.asarray(self.cache.offset).copy()
+        pbs = np.asarray(self.cache.pos_base).copy()
+        offs[dst] = offs[src]
+        pbs[dst] = pbs[src]
+        self.cache = self.cache._replace(
+            table=jnp.asarray(self._table_host),
+            offset=jnp.asarray(offs), pos_base=jnp.asarray(pbs))
+        # conversation continuation state rides along; queues stay empty
+        self._needs_prefill[dst] = self._needs_prefill[src]
+        self.prepends[dst] = list(self.prepends[src])
+        self.transcripts[dst] = list(self.transcripts[src])
+        self._hist = self._hist.at[dst].set(self._hist[src])
+        self._hcount = self._hcount.at[dst].set(self._hcount[src])
