@@ -51,6 +51,10 @@ def main():
     p.add_argument("--ring", action="store_true",
                    help="force the static ring KV in the multistream "
                         "engine (A/B against --paged)")
+    p.add_argument("--ms_pixels", action="store_true",
+                   help="feed raw uint8 frames to the multistream stage "
+                        "(SigLIP encode in the loop — BASELINE config #5 "
+                        "at N streams)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -163,6 +167,12 @@ def main():
             ms_ctx = 256 * (
                 (per_stream * (fnt + 4) + 128
                  + (per_stream // 8 + 2) * (128 + 20)) // 256 + 1)
+            ms_vparams = None
+            if args.ms_pixels:
+                # BASELINE config #5 at N streams: raw uint8 frames encode
+                # through SigLIP-large + connector INSIDE input_frames
+                ms_vparams = siglip.init_params(jax.random.PRNGKey(11),
+                                                cfg.vision)
             ms = MultiStreamEngine(params, tok, ms_cfg,
                                    num_streams=args.streams,
                                    kv_capacity=ms_ctx,
@@ -170,10 +180,16 @@ def main():
                                    pipelined=args.ms_mode == "pipelined",
                                    kv_quant=args.kv_quant or None,
                                    spec_decode=args.ms_spec_decode,
-                                   paged=False if args.ring else args.paged)
-            feats = np.asarray(jax.random.normal(
-                rngf, (per_stream, fnt, cfg.vision_hidden_size),
-                jnp.float32))
+                                   paged=False if args.ring else args.paged,
+                                   vision_params=ms_vparams)
+            if args.ms_pixels:
+                feats = np.random.RandomState(7).randint(
+                    0, 255, (per_stream, 3, cfg.vision.image_size,
+                             cfg.vision.image_size), dtype=np.uint8)
+            else:
+                feats = np.asarray(jax.random.normal(
+                    rngf, (per_stream, fnt, cfg.vision_hidden_size),
+                    jnp.float32))
 
             def run_ms():
                 ms.reset()
@@ -199,6 +215,7 @@ def main():
             agg = args.streams * per_stream / dt
             report["multistream_streams"] = args.streams
             report["multistream_paged"] = ms.paged
+            report["multistream_pixels"] = bool(args.ms_pixels)
             report["multistream_aggregate_fps"] = round(agg, 1)
             report["multistream_responses"] = responses
             report["multistream_ticks"] = ticks

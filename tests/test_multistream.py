@@ -423,3 +423,41 @@ def test_fork_stream_branches_dialogue():
         # full accounting: free list + live refs cover the whole pool
         live = int(np.sum(ms._page_refs > 0))
         assert len(ms._free_pages) == ms.pool_pages - 1 - live
+
+
+def test_multistream_raw_pixel_input_matches_features():
+    """uint8 frames into MultiStreamEngine (vision_params set) must produce
+    exactly the transcripts of the same engine fed the equivalent
+    pre-extracted features (BASELINE config #5 at N streams)."""
+    from videollm_online_tpu.models import siglip
+
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    vparams = siglip.init_params(jax.random.PRNGKey(1), cfg.vision)
+    rng = np.random.RandomState(47)
+    N = 2
+    videos = [rng.randint(0, 255, (6, 3, cfg.vision.image_size,
+                                   cfg.vision.image_size), dtype=np.uint8)
+              for _ in range(N)]
+    feats = [np.asarray(siglip.frame_features(
+        vparams, siglip.preprocess(jax.numpy.asarray(v), cfg.vision),
+        cfg.vision, cfg)) for v in videos]
+
+    def drive(inputs, vp):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                               kv_capacity=1024, chunk_frames=4,
+                               vision_params=vp)
+        for i in range(N):
+            ms.input_frames(i, 0.0, inputs[i])
+        ms.input_query(0, "what now?", video_time=1.2)
+        for _ in range(48):
+            ms.step()
+            if not ms.pending():
+                break
+        return ms.transcripts
+
+    got = drive(videos, vparams)
+    ref = drive(feats, None)
+    for i in range(N):
+        assert got[i] == ref[i], (
+            f"stream {i}:\npixels={got[i]}\nfeatures={ref[i]}")
+    assert sum(len(t) for t in got) >= 1

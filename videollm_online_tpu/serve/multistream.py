@@ -71,7 +71,8 @@ class MultiStreamEngine:
                  kv_quant: Optional[str] = None,
                  spec_decode: bool = False,
                  paged=None, page_size: int = 512,
-                 pool_pages: Optional[int] = None):
+                 pool_pages: Optional[int] = None,
+                 vision_params=None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
         # prepend before reading tick i (speculative full consumption,
@@ -157,6 +158,27 @@ class MultiStreamEngine:
         self._stream_prompt_ids = list(tok.encode("\n["))
         self._gen_prompt_ids = list(tok.encode("]\nAssistant:"))
         self._build_jitted()
+        # raw-pixel ingest (BASELINE config #5 at N streams): uint8 frames
+        # passed to input_frames encode through the vision tower + the
+        # connector on-device, then flow into the same lazy-ref burst path
+        # as pre-extracted features (single-stream engine's _embed_chunk)
+        self.vision_params = vision_params
+        if vision_params is not None:
+            from ..models import live as live_mod
+            from ..models import siglip
+            cfg_ = self.cfg
+            fnt_, K_ = self.fnt, self.chunk_frames
+
+            def encode_pad(vparams, cparams, pixels):
+                feats = siglip.frame_features(
+                    vparams, siglip.preprocess(pixels, cfg_.vision),
+                    cfg_.vision, cfg_)
+                flat = live_mod.visual_embed(cparams, feats, cfg_)
+                flat = flat.reshape(-1, fnt_, self.hidden)
+                pad = jnp.zeros((K_,) + flat.shape[1:], flat.dtype)
+                return jnp.concatenate([flat, pad], axis=0)
+
+            self._encode_pad = jax.jit(encode_pad)
         self.reset()
 
     # ------------------------------------------------------------------ jit
@@ -767,15 +789,24 @@ class MultiStreamEngine:
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
                      features: np.ndarray):
-        """Enqueue pre-extracted features ((T, fnt, vision_hidden)) for one
-        stream, timestamped from ``video_time`` on the fps grid."""
+        """Enqueue frames for one stream, timestamped from ``video_time``
+        on the fps grid. Accepts pre-extracted features
+        ((T, fnt, vision_hidden)) or, when the engine was built with
+        ``vision_params``, raw uint8 pixels ((T, 3, H, W)) which encode
+        through the vision tower + connector on-device."""
         feats = jnp.asarray(features)
-        if feats.ndim == 2:
-            feats = feats[:, None, :]
-        # project AND zero-pad by chunk_frames rows in ONE dispatch: the
-        # per-tick gather slices [i0, i0+K) of each source without
-        # re-padding (engine.project_padded pattern)
-        embeds = self._project_padded(self.params, feats)
+        if feats.dtype == jnp.uint8:
+            assert self.vision_params is not None, (
+                "raw pixel input needs vision_params")
+            embeds = self._encode_pad(self.vision_params, self.params,
+                                      feats)
+        else:
+            if feats.ndim == 2:
+                feats = feats[:, None, :]
+            # project AND zero-pad by chunk_frames rows in ONE dispatch:
+            # the per-tick gather slices [i0, i0+K) of each source without
+            # re-padding (engine.project_padded pattern)
+            embeds = self._project_padded(self.params, feats)
         T = embeds.shape[0] - self.chunk_frames
         # lazy refs (engine._FrameRef): enqueueing dispatches nothing, and
         # a whole-chunk burst assembles into the (N, K, fnt, D) operand
