@@ -461,3 +461,37 @@ def test_multistream_raw_pixel_input_matches_features():
         assert got[i] == ref[i], (
             f"stream {i}:\npixels={got[i]}\nfeatures={ref[i]}")
     assert sum(len(t) for t in got) >= 1
+
+
+def test_max_lag_backpressure_and_stats():
+    """max_lag_frames sheds the oldest queued frames before each tick
+    (realtime live semantics — the reference's queue grows unboundedly);
+    stats() reports occupancy, drops, pool accounting, and tick latency
+    without any device readback."""
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    rng = np.random.RandomState(51)
+    feats = rng.randn(32, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                           kv_capacity=1024, chunk_frames=4,
+                           max_lag_frames=8)
+    ms.input_frames(0, 0.0, feats)
+    ms.step()  # shed happens before the tick consumes anything
+    assert ms._dropped[0] == 24
+    assert len(ms.frame_queues[0]) <= 8
+    for _ in range(32):
+        ms.step()
+        if not ms.pending():
+            break
+    st = ms.stats()
+    assert st["streams"][0]["dropped_frames"] == 24
+    assert st["streams"][1]["dropped_frames"] == 0
+    assert st["streams"][0]["offset"] > 0
+    assert st["streams"][0]["queued_frames"] == 0
+    assert st["ticks"]["count"] >= 1 and st["ticks"]["p50_ms"] > 0
+    # paged accounting consistency (auto default is paged at this capacity)
+    assert ms.paged
+    assert st["pool"]["pages_free"] + sum(st["pool"]["pages_per_stream"]) \
+        == st["pool"]["pages_total"]
+    # engine still serves after shedding: frames 24..31 were ingested
+    assert int(ms._host_offsets[0]) >= 8 * cfg.frame_num_tokens

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import collections
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -72,7 +72,8 @@ class MultiStreamEngine:
                  spec_decode: bool = False,
                  paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None,
-                 vision_params=None):
+                 vision_params=None,
+                 max_lag_frames: Optional[int] = None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
         # pipelined: additionally chain tick i+1 through the device-resident
         # prepend before reading tick i (speculative full consumption,
@@ -139,6 +140,12 @@ class MultiStreamEngine:
                 f"{stream_window}: needs >= {need}")
             self.cfg = self.cfg.replace(llama=dataclasses.replace(
                 self.cfg.llama, sliding_window=stream_window))
+        # max_lag_frames: realtime backpressure — a stream whose pending
+        # frame queue exceeds this sheds its OLDEST frames at the next
+        # tick (live semantics: a viewer that falls behind skips forward;
+        # the reference's queue grows without bound,
+        # demo/inference.py:118-119). None = never drop.
+        self.max_lag_frames = max_lag_frames
         self.N = num_streams
         self.kv_capacity = kv_capacity
         self.frame_fps = frame_fps or self.cfg.frame_fps
@@ -785,6 +792,9 @@ class MultiStreamEngine:
         self._hist = jnp.zeros((self.N, gen_mod.SPEC_HIST), jnp.int32)
         self._hcount = jnp.zeros((self.N,), jnp.int32)
         self._sstats = jnp.zeros((2,), jnp.int32)
+        from ..utils.profiling import LatencyHistogram
+        self._tick_hist = LatencyHistogram()
+        self._dropped = [0] * self.N
 
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
@@ -823,6 +833,44 @@ class MultiStreamEngine:
         spec_decode responses (one device readback; call off the hot
         path). Mean accepted drafts per step = tokens/steps - 1."""
         return np.asarray(self._sstats)
+
+    def _shed_lag(self):
+        """Realtime backpressure: drop each lagging stream's OLDEST queued
+        frames down to ``max_lag_frames`` (host-only; never touches device
+        state or frames already consumed by in-flight dispatches)."""
+        lag = self.max_lag_frames
+        if lag is None:
+            return
+        for i in range(self.N):
+            q = self.frame_queues[i]
+            while len(q) > lag:
+                q.popleft()
+                self._dropped[i] += 1
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving observability snapshot (host state only — zero device
+        readbacks): per-stream queue/cache occupancy + drop counts, pool
+        accounting (paged), and tick-latency percentiles."""
+        out = {
+            "streams": [{
+                "offset": int(self._host_offsets[i]),
+                "queued_frames": len(self.frame_queues[i]),
+                "queued_queries": len(self.query_queues[i]),
+                "pending_responses": len(self._resp_out[i]),
+                "transcript_len": len(self.transcripts[i]),
+                "dropped_frames": self._dropped[i],
+            } for i in range(self.N)],
+            "ticks": self._tick_hist.summary().get("tick", {}),
+            "inflight_dispatches": len(self._pipe),
+        }
+        if self.paged:
+            out["pool"] = {
+                "pages_total": self.pool_pages - 1,
+                "pages_free": len(self._free_pages),
+                "pages_per_stream": list(self._pages_alloc),
+                "page_size": self.page_size,
+            }
+        return out
 
     def _gather_chunks(self, bursts, active, K: int) -> jax.Array:
         """(N, K, fnt, D) chunk operand. Fast path: every active burst is a
@@ -980,6 +1028,15 @@ class MultiStreamEngine:
         device-resident prepend before tick i's readback is consumed.
         Returns per-stream (query, response) or None; responses beyond one
         per stream per call surface on subsequent calls (FIFO)."""
+        import time as _time
+        self._shed_lag()
+        t0 = _time.perf_counter()
+        try:
+            return self._step_inner()
+        finally:
+            self._tick_hist.add("tick", _time.perf_counter() - t0)
+
+    def _step_inner(self) -> List[Optional[Tuple[Optional[str], str]]]:
         if not self.fused:
             return self._step_unfused()
         if self.pipelined:
