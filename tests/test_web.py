@@ -4,6 +4,7 @@ interaction loop (reference demo/app.py) without gradio."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -110,3 +111,59 @@ def test_web_demo_404_and_bad_json(server):
                                  method="POST")
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(req, timeout=60)
+
+
+def test_multi_session_web_serving():
+    """N browser sessions over ONE MultiStreamEngine through real HTTP:
+    sessions are isolated, slots recycle via /close (continuous batching),
+    and /stats exposes the pool. The reference serves one gradio session
+    per process."""
+    from videollm_online_tpu.serve.multistream import MultiStreamEngine
+    from videollm_online_tpu.serve.web import serve_multi
+
+    cfg, tok, params = _setup()
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                           kv_capacity=2048, chunk_frames=4)
+    httpd, demo = serve_multi(ms, cfg.frame_fps, port=0)
+    thr = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thr.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        n_frames = 8
+        times = [i / cfg.frame_fps for i in range(n_frames)]
+        assert _req(base, "/load", {"sid": "a", "frames": n_frames,
+                                    "seed": 7})["ok"]
+        assert _req(base, "/load", {"sid": "b", "frames": n_frames,
+                                    "seed": 9})["ok"]
+        # a third concurrent session must be refused (slots exhausted)
+        try:
+            _req(base, "/load", {"sid": "c", "frames": 4})
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        _req(base, "/query", {"sid": "a", "text": "what now?",
+                              "time": times[2]})
+        for t in times:
+            ma = _req(base, f"/step?sid=a&time={t}")["messages"]
+            mb = _req(base, f"/step?sid=b&time={t}")["messages"]
+        for _ in range(8):  # drain queued responses
+            ma = _req(base, f"/step?sid=a&time={times[-1]}")["messages"]
+            mb = _req(base, f"/step?sid=b&time={times[-1]}")["messages"]
+        assert len(ma) >= 1 and len(mb) >= 1
+        assert [m["text"] for m in ma] != [m["text"] for m in mb]
+        assert any(m["role"] == "user" and "what now?" in m["text"]
+                   for m in ma)
+        assert not any(m["role"] == "user" and "what now?" in m["text"]
+                       for m in mb)
+        st = _req(base, "/stats")
+        assert st["sessions"] == {"a": 0, "b": 1}
+        # close a -> slot 0 recycles for session c
+        closed = _req(base, "/close", {"sid": "a"})["messages"]
+        assert closed == ma
+        assert _req(base, "/load", {"sid": "c", "frames": 4,
+                                    "seed": 3})["slot"] == 0
+        _req(base, f"/step?sid=c&time=0.0")
+        st = _req(base, "/stats")
+        assert st["sessions"] == {"b": 1, "c": 0}
+    finally:
+        httpd.shutdown()

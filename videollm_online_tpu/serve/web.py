@@ -213,6 +213,153 @@ def serve(engine, frame_fps: float, port: int = 8600, poll_ms: int = 0):
     return httpd, demo
 
 
+class MultiWebDemo:
+    """Multi-session serving over ONE MultiStreamEngine: each browser
+    session (``sid``) occupies a stream slot; all sessions share the
+    batched device programs. Slot lifecycle is the engine's continuous
+    batching — re-/load closes the session's prior dialogue
+    (``close_stream``) and /close frees the slot for the next visitor.
+    The reference can serve exactly one gradio session per process."""
+
+    def __init__(self, ms, frame_fps: float):
+        self.ms = ms
+        self.frame_fps = frame_fps
+        self.lock = threading.Lock()
+        self.sessions: Dict[str, int] = {}
+        self._feats: Dict[int, np.ndarray] = {}
+        self._fed: Dict[int, int] = {}
+        self.messages: Dict[int, List[Dict[str, Any]]] = {}
+
+    def load(self, sid: str, spec: Dict[str, Any]) -> int:
+        with self.lock:
+            if sid in self.sessions:
+                slot = self.sessions[sid]
+                self.ms.close_stream(slot)
+            else:
+                used = set(self.sessions.values())
+                free = [i for i in range(self.ms.N) if i not in used]
+                if not free:
+                    raise KeyError("no free session slots")
+                slot = free[0]
+                self.sessions[sid] = slot
+            n = int(spec.get("frames", 600))
+            cfg = self.ms.cfg
+            rng = np.random.RandomState(int(spec.get("seed", 0)))
+            self._feats[slot] = rng.randn(
+                n, cfg.frame_num_tokens,
+                cfg.vision_hidden_size).astype(np.float32)
+            self._fed[slot] = 0
+            self.messages[slot] = []
+            return slot
+
+    def query(self, sid: str, text: str, video_time: float) -> None:
+        with self.lock:
+            self.ms.input_query(self.sessions[sid], text,
+                                video_time=video_time)
+
+    def step(self, sid: str, video_time: float) -> List[Dict[str, Any]]:
+        """Advance THIS session's stream clock, tick the shared engine
+        once, and drain every session's surfaced responses (a slow
+        session's responses surface on whichever session polls next —
+        same discipline as the engine's own FIFO)."""
+        with self.lock:
+            slot = self.sessions[sid]
+            feats = self._feats.get(slot)
+            if feats is not None and len(feats):
+                fidx = min(int(video_time * self.frame_fps), len(feats) - 1)
+                if fidx >= self._fed[slot]:
+                    self.ms.input_frames(slot, self._fed[slot] / self.frame_fps,
+                                         feats[self._fed[slot]:fidx + 1])
+                    self._fed[slot] = fidx + 1
+            results = self.ms.step()
+            for i, r in enumerate(results):
+                if r is None:
+                    continue
+                q, resp = r
+                msgs = self.messages.setdefault(i, [])
+                if q:
+                    msgs.append({"role": "user", "text": q,
+                                 "time": video_time})
+                msgs.append({"role": "assistant", "text": resp,
+                             "time": video_time})
+            return self.messages.get(slot, [])
+
+    def close(self, sid: str) -> List[Dict[str, Any]]:
+        with self.lock:
+            slot = self.sessions.pop(sid)
+            self.ms.close_stream(slot)
+            self._feats.pop(slot, None)
+            self._fed.pop(slot, None)
+            return self.messages.pop(slot, [])
+
+    def stats(self) -> Dict[str, Any]:
+        with self.lock:
+            st = self.ms.stats()
+            st["sessions"] = dict(self.sessions)
+            return st
+
+
+def make_multi_handler(demo: MultiWebDemo):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            try:
+                if url.path == "/step":
+                    sid = qs["sid"][0]
+                    t = float(qs.get("time", ["0"])[0])
+                    self._json({"messages": demo.step(sid, t), "time": t})
+                elif url.path == "/stats":
+                    self._json(demo.stats())
+                else:
+                    self._json({"error": "not found"}, 404)
+            except KeyError as e:
+                self._json({"error": str(e)}, 409)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._json({"error": "bad json"}, 400)
+            try:
+                sid = str(payload["sid"])
+                if self.path == "/load":
+                    slot = demo.load(sid, payload)
+                    self._json({"ok": True, "slot": slot})
+                elif self.path == "/query":
+                    demo.query(sid, str(payload.get("text", "")),
+                               float(payload.get("time", 0.0)))
+                    self._json({"ok": True})
+                elif self.path == "/close":
+                    self._json({"messages": demo.close(sid)})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except KeyError as e:
+                self._json({"error": str(e)}, 409)
+
+    return Handler
+
+
+def serve_multi(ms, frame_fps: float, port: int = 8600):
+    """Multi-session server over a MultiStreamEngine (port 0 = ephemeral)."""
+    demo = MultiWebDemo(ms, frame_fps)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port),
+                                make_multi_handler(demo))
+    return httpd, demo
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default="")
@@ -220,6 +367,9 @@ def main(argv=None):
     p.add_argument("--kv_capacity", type=int, default=16384)
     p.add_argument("--kv_quant", default="", choices=["", "int8"])
     p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--multi", type=int, default=0,
+                   help="N > 0: serve N concurrent browser sessions over "
+                        "one MultiStreamEngine (continuous batching)")
     args = p.parse_args(argv)
     from .cli import build_engine
 
@@ -235,7 +385,15 @@ def main(argv=None):
         seed = 0
 
     engine, cfg = build_engine(_A)
-    httpd, _ = serve(engine, cfg.frame_fps, port=args.port)
+    if args.multi > 0:
+        from .multistream import MultiStreamEngine
+        ms = MultiStreamEngine(engine.params, engine.tokenizer, cfg,
+                               num_streams=args.multi,
+                               kv_capacity=args.kv_capacity,
+                               kv_quant=args.kv_quant or None)
+        httpd, _ = serve_multi(ms, cfg.frame_fps, port=args.port)
+    else:
+        httpd, _ = serve(engine, cfg.frame_fps, port=args.port)
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     httpd.serve_forever()
 
