@@ -147,3 +147,52 @@ def test_tp_sharded_serving_matches_single_device():
         got = run(sharded)
     assert got == ref
     assert len(ref) >= 1
+
+
+def test_tp_sharded_multistream_matches_single_device():
+    """TP-sharded MULTISTREAM serving: N concurrent dialogues with params
+    sharded over the model axis reproduce the single-device transcripts
+    exactly — the multi-chip serving configuration (tp over the model x
+    batched streams) validated end to end on the simulated mesh,
+    including the paged KV pool and fused+pipelined dispatch."""
+    import numpy as np
+    import jax
+    from videollm_online_tpu.core.config import tiny_live_config
+    from videollm_online_tpu.models import live
+    from videollm_online_tpu.parallel.mesh import make_mesh
+    from videollm_online_tpu.serve.multistream import MultiStreamEngine
+    from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+    from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+    from videollm_online_tpu.train import step as step_mod
+
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(frame_token_interval_threshold=0.725,
+                          max_response_tokens=12)
+    params = live.init_params(jax.random.PRNGKey(9), cfg)
+    N, n_frames = 2, 8
+    rng = np.random.RandomState(5)
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+
+    def run(p, **kw):
+        ms = MultiStreamEngine(p, tok, cfg, num_streams=N,
+                               kv_capacity=1024, chunk_frames=4, **kw)
+        for i in range(N):
+            ms.input_frames(i, 0.0, feats[i])
+        ms.input_query(0, "what now?", video_time=1.2)
+        for _ in range(64):
+            ms.step()
+            if not ms.pending():
+                break
+        return ms.transcripts
+
+    ref = run(params)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    sharded = step_mod.shard_params(params, mesh, policy="tp")
+    with mesh:
+        got = run(sharded, pipelined=True, pipeline_depth=2)
+    assert got == ref
+    assert sum(len(t) for t in ref) >= 1
