@@ -495,3 +495,31 @@ def test_max_lag_backpressure_and_stats():
         == st["pool"]["pages_total"]
     # engine still serves after shedding: frames 24..31 were ingested
     assert int(ms._host_offsets[0]) >= 8 * cfg.frame_num_tokens
+
+
+def test_fork_pool_exhaustion_leaves_allocator_clean():
+    """When no free page exists for the tail copy, fork_stream must raise
+    BEFORE touching refcounts/tables — a partial fork would leak the
+    aliased pages' +1 refs forever."""
+    cfg, tok, params = _setup(threshold=1.0, seed=9)  # gate never fires
+    rng = np.random.RandomState(53)
+    feats = rng.randn(8, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                           kv_capacity=1024, chunk_frames=4, paged=True,
+                           page_size=64)
+    ms.input_frames(0, 0.0, feats)
+    for _ in range(16):
+        ms.step()
+        if not ms.pending():
+            break
+    assert int(ms._host_offsets[0]) % ms.page_size > 0  # tail copy needed
+    ms._free_pages.clear()  # simulate a fully-loaded pool at fork time
+    refs_before = ms._page_refs.copy()
+    table_before = ms._table_host.copy()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="exhausted"):
+        ms.fork_stream(0, 1)
+    assert np.array_equal(ms._page_refs, refs_before)
+    assert np.array_equal(ms._table_host, table_before)
+    assert ms._pages_alloc[1] == 0

@@ -141,6 +141,12 @@ def test_multi_session_web_serving():
             assert False, "expected 409"
         except urllib.error.HTTPError as e:
             assert e.code == 409
+        # a malformed request (no sid) is a client error, not a conflict
+        try:
+            _req(base, "/load", {"frames": 4})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         _req(base, "/query", {"sid": "a", "text": "what now?",
                               "time": times[2]})
         for t in times:

@@ -80,6 +80,20 @@ def visual_embed(params: Params, frames: jax.Array, cfg: LiveConfig) -> jax.Arra
     return out.reshape(-1, out.shape[-1])
 
 
+def pixels_to_embeds(vision_params: Params, params: Params,
+                     pixels: jax.Array, cfg: LiveConfig) -> jax.Array:
+    """Raw uint8 frames (T, 3, H, W) -> per-frame LLM embeddings
+    (T, frame_num_tokens, hidden): vision tower + connector (the
+    reference's set_vision_inside path, modeling_live.py:12-27). Shared
+    by both serving engines' raw-pixel ingest."""
+    from . import siglip
+    feats = siglip.frame_features(
+        vision_params, siglip.preprocess(pixels, cfg.vision), cfg.vision,
+        cfg)
+    flat = visual_embed(params, feats, cfg)
+    return flat.reshape(-1, cfg.frame_num_tokens, flat.shape[-1])
+
+
 def joint_embed(
     params: Params,
     cfg: LiveConfig,

@@ -22,11 +22,14 @@ import time
 
 
 
-def build_engine(args):
+def build_model(args):
+    """Params/tokenizer/config loading shared by every serving surface
+    (single-stream CLI engine, web demo, multi-session web server) —
+    returns (params, tok, cfg, vision_params) without allocating any
+    engine KV state."""
     import jax
     from ..core.config import LiveConfig, LlamaConfig, live1_plus_config
     from ..models import live
-    from ..serve.engine import LiveInferEngine
     from ..tokenizer.live_tokenizer import LiveTokenizer
     from ..tokenizer.tiny import ByteTokenizer
 
@@ -97,6 +100,13 @@ def build_engine(args):
         from ..models import siglip
         vision_params = siglip.init_params(jax.random.PRNGKey(1), cfg.vision)
 
+    return params, tok, cfg, vision_params
+
+
+def build_engine(args):
+    from ..serve.engine import LiveInferEngine
+
+    params, tok, cfg, vision_params = build_model(args)
     return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
                            kv_capacity=args.kv_capacity,
                            speculative=getattr(args, "speculative", False),

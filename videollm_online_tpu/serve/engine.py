@@ -803,14 +803,10 @@ class LiveInferEngine:
         self._project_padded = jax.jit(project_padded, static_argnums=(2,))
 
         if self.vision_params is not None:
-            from ..models import siglip
-
             def encode_frames(vparams, cparams, pixels):
-                feats = siglip.frame_features(
-                    vparams, siglip.preprocess(pixels, cfg.vision),
-                    cfg.vision, cfg)
-                flat = live.visual_embed(cparams, feats, cfg)
-                return flat.reshape(-1, fnt, self.hidden)
+                # shared vision-tower + connector composition
+                # (models/live.pixels_to_embeds; multistream uses the same)
+                return live.pixels_to_embeds(vparams, cparams, pixels, cfg)
 
             if self.encoder_device is not None:
                 self.vision_params = jax.device_put(self.vision_params,

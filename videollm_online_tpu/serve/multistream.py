@@ -144,7 +144,10 @@ class MultiStreamEngine:
         # frame queue exceeds this sheds its OLDEST frames at the next
         # tick (live semantics: a viewer that falls behind skips forward;
         # the reference's queue grows without bound,
-        # demo/inference.py:118-119). None = never drop.
+        # demo/inference.py:118-119). None = never drop; minimum 1 (a 0
+        # would shed every frame before the tick could consume any and
+        # livelock pending()-driven loops).
+        assert max_lag_frames is None or max_lag_frames >= 1, max_lag_frames
         self.max_lag_frames = max_lag_frames
         self.N = num_streams
         self.kv_capacity = kv_capacity
@@ -172,20 +175,9 @@ class MultiStreamEngine:
         self.vision_params = vision_params
         if vision_params is not None:
             from ..models import live as live_mod
-            from ..models import siglip
             cfg_ = self.cfg
-            fnt_, K_ = self.fnt, self.chunk_frames
-
-            def encode_pad(vparams, cparams, pixels):
-                feats = siglip.frame_features(
-                    vparams, siglip.preprocess(pixels, cfg_.vision),
-                    cfg_.vision, cfg_)
-                flat = live_mod.visual_embed(cparams, feats, cfg_)
-                flat = flat.reshape(-1, fnt_, self.hidden)
-                pad = jnp.zeros((K_,) + flat.shape[1:], flat.dtype)
-                return jnp.concatenate([flat, pad], axis=0)
-
-            self._encode_pad = jax.jit(encode_pad)
+            self._encode_bucket = jax.jit(functools.partial(
+                live_mod.pixels_to_embeds, cfg=cfg_))
         self.reset()
 
     # ------------------------------------------------------------------ jit
@@ -724,6 +716,21 @@ class MultiStreamEngine:
         self._set_offsets = jax.jit(
             lambda cache, off: cache._replace(offset=off),
             donate_argnums=(0,))
+
+        def copy_page(cache, p_new, p_old):
+            # fork_stream's tail-page copy: donated, so the pools update
+            # in place and only one page of HBM traffic moves
+            def cp(pool):
+                page = jax.lax.dynamic_slice_in_dim(pool, p_old, 1, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    pool, page, p_new, axis=1)
+            upd = {"k": cp(cache.k), "v": cp(cache.v)}
+            if cache.k_scale is not None:
+                upd["k_scale"] = cp(cache.k_scale)
+                upd["v_scale"] = cp(cache.v_scale)
+            return cache._replace(**upd)
+
+        self._copy_page = jax.jit(copy_page, donate_argnums=(0,))
         self._compact_jit = jax.jit(llama.compact_kv_cache,
                                     donate_argnums=(0,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
@@ -793,7 +800,7 @@ class MultiStreamEngine:
         self._hcount = jnp.zeros((self.N,), jnp.int32)
         self._sstats = jnp.zeros((2,), jnp.int32)
         from ..utils.profiling import LatencyHistogram
-        self._tick_hist = LatencyHistogram()
+        self._tick_hist = LatencyHistogram(max_samples=4096)
         self._dropped = [0] * self.N
 
     # ------------------------------------------------------------------ I/O
@@ -808,8 +815,23 @@ class MultiStreamEngine:
         if feats.dtype == jnp.uint8:
             assert self.vision_params is not None, (
                 "raw pixel input needs vision_params")
-            embeds = self._encode_pad(self.vision_params, self.params,
-                                      feats)
+            # encode in fixed-size buckets (one compile; the last bucket
+            # zero-pads) — an unbounded whole-clip batch through the ViT
+            # would OOM on a minutes-long input
+            ENC = 32
+            T = feats.shape[0]
+            chunks = []
+            for i0 in range(0, T, ENC):
+                px = feats[i0:i0 + ENC]
+                if px.shape[0] < ENC:
+                    px = jnp.pad(px, ((0, ENC - px.shape[0]),) +
+                                 ((0, 0),) * (px.ndim - 1))
+                chunks.append(self._encode_bucket(
+                    self.vision_params, self.params, px))
+            embeds = jnp.concatenate(chunks, axis=0)[:T]
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((self.chunk_frames,) + embeds.shape[1:],
+                                   embeds.dtype)], axis=0)
         else:
             if feats.ndim == 2:
                 feats = feats[:, None, :]
@@ -1661,9 +1683,10 @@ class MultiStreamEngine:
         pb[i] = 0
         self.cache = self.cache._replace(offset=jnp.asarray(off),
                                          pos_base=jnp.asarray(pb))
-        # spec-decode history is per-dialogue: clear the slot's ring
+        # spec-decode history and drop stats are per-dialogue
         self._hist = self._hist.at[i].set(0)
         self._hcount = self._hcount.at[i].set(0)
+        self._dropped[i] = 0
         return out
 
     def _unref_page(self, p: int):
@@ -1685,8 +1708,9 @@ class MultiStreamEngine:
         ``dst`` must be a fresh/closed slot."""
         assert self.paged, "fork_stream requires the paged KV layout"
         assert src != dst
-        assert self._pages_alloc[dst] == 0 and not self.frame_queues[dst] \
-            and int(self._host_offsets[dst]) == 0, \
+        assert (self._pages_alloc[dst] == 0 and not self.frame_queues[dst]
+                and not self.query_queues[dst] and not self._resp_out[dst]
+                and int(self._host_offsets[dst]) == 0), \
             "fork target must be a fresh or closed slot"
         # in-flight pipelined ticks may rewind offsets; fork after resolve
         while self._pipe:
@@ -1695,32 +1719,32 @@ class MultiStreamEngine:
         off = int(self._host_offsets[src])
         full = off // self.page_size
         r = off % self.page_size
+        # preflight the tail-page allocation BEFORE any refcount mutation:
+        # raising mid-alias would leak the bumped refs forever
+        if r > 0 and not self._free_pages:
+            raise RuntimeError("paged KV pool exhausted in fork_stream")
         for j in range(full):
             p = int(self._table_host[src, j])
             self._page_refs[p] += 1
             self._table_host[dst, j] = p
         alloc = full
         if r > 0:
-            # private copy of the partial tail page (k/v/scale pools alike)
-            if not self._free_pages:
-                raise RuntimeError("paged KV pool exhausted in fork_stream")
+            # private copy of the partial tail page (k/v/scale pools
+            # alike), via the DONATED jitted copier — in place on device,
+            # one page of traffic (eager .at[].set would materialize a
+            # full copy of every ~GB pool)
             p_new = self._free_pages.pop()
             self._page_refs[p_new] = 1
             p_old = int(self._table_host[src, full])
-            cache = self.cache
-            upd = {"k": cache.k.at[:, p_new].set(cache.k[:, p_old]),
-                   "v": cache.v.at[:, p_new].set(cache.v[:, p_old])}
-            if cache.quantized:
-                upd["k_scale"] = cache.k_scale.at[:, p_new].set(
-                    cache.k_scale[:, p_old])
-                upd["v_scale"] = cache.v_scale.at[:, p_new].set(
-                    cache.v_scale[:, p_old])
-            self.cache = cache._replace(**upd)
+            self.cache = self._copy_page(
+                self.cache, jnp.asarray(p_new, jnp.int32),
+                jnp.asarray(p_old, jnp.int32))
             self._table_host[dst, full] = p_new
             alloc = full + 1
         self._pages_alloc[dst] = alloc
         self._host_offsets[dst] = off
         self._pos_base_host[dst] = self._pos_base_host[src]
+        self._dropped[dst] = 0
         offs = np.asarray(self.cache.offset).copy()
         pbs = np.asarray(self.cache.pos_base).copy()
         offs[dst] = offs[src]

@@ -213,6 +213,10 @@ def serve(engine, frame_fps: float, port: int = 8600, poll_ms: int = 0):
     return httpd, demo
 
 
+class SlotsFull(RuntimeError):
+    """All stream slots are occupied (HTTP 409)."""
+
+
 class MultiWebDemo:
     """Multi-session serving over ONE MultiStreamEngine: each browser
     session (``sid``) occupies a stream slot; all sessions share the
@@ -239,7 +243,7 @@ class MultiWebDemo:
                 used = set(self.sessions.values())
                 free = [i for i in range(self.ms.N) if i not in used]
                 if not free:
-                    raise KeyError("no free session slots")
+                    raise SlotsFull("no free session slots")
                 slot = free[0]
                 self.sessions[sid] = slot
             n = int(spec.get("frames", 600))
@@ -324,8 +328,12 @@ def make_multi_handler(demo: MultiWebDemo):
                     self._json(demo.stats())
                 else:
                     self._json({"error": "not found"}, 404)
-            except KeyError as e:
+            except SlotsFull as e:
                 self._json({"error": str(e)}, 409)
+            except KeyError as e:
+                # missing sid param / unknown session: a client error
+                self._json({"error": f"bad or unknown sid: {e.args[0]}"},
+                           400)
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -346,8 +354,11 @@ def make_multi_handler(demo: MultiWebDemo):
                     self._json({"messages": demo.close(sid)})
                 else:
                     self._json({"error": "not found"}, 404)
-            except KeyError as e:
+            except SlotsFull as e:
                 self._json({"error": str(e)}, 409)
+            except KeyError as e:
+                self._json({"error": f"bad or unknown sid: {e.args[0]}"},
+                           400)
 
     return Handler
 
@@ -371,7 +382,7 @@ def main(argv=None):
                    help="N > 0: serve N concurrent browser sessions over "
                         "one MultiStreamEngine (continuous batching)")
     args = p.parse_args(argv)
-    from .cli import build_engine
+    from .cli import build_engine, build_model
 
     class _A:  # reuse the CLI builder's arg surface
         checkpoint = args.checkpoint
@@ -384,15 +395,19 @@ def main(argv=None):
         kv_quant = args.kv_quant
         seed = 0
 
-    engine, cfg = build_engine(_A)
     if args.multi > 0:
+        # build params/tokenizer only — a full LiveInferEngine would pin
+        # an unused kv_capacity-sized single-stream cache in HBM
         from .multistream import MultiStreamEngine
-        ms = MultiStreamEngine(engine.params, engine.tokenizer, cfg,
+        params, tok, cfg, vision_params = build_model(_A)
+        ms = MultiStreamEngine(params, tok, cfg,
                                num_streams=args.multi,
                                kv_capacity=args.kv_capacity,
-                               kv_quant=args.kv_quant or None)
+                               kv_quant=args.kv_quant or None,
+                               vision_params=vision_params)
         httpd, _ = serve_multi(ms, cfg.frame_fps, port=args.port)
     else:
+        engine, cfg = build_engine(_A)
         httpd, _ = serve(engine, cfg.frame_fps, port=args.port)
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     httpd.serve_forever()

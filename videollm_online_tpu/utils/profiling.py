@@ -36,10 +36,15 @@ def annotate(name: str):
 
 
 class LatencyHistogram:
-    """Per-stage wall-clock samples -> p50/p90/p99 summaries."""
+    """Per-stage wall-clock samples -> p50/p90/p99 summaries.
 
-    def __init__(self):
+    ``max_samples`` bounds per-stage memory for long-running servers
+    (sliding window of the most recent samples; None = unbounded, for
+    benchmark runs that want every sample)."""
+
+    def __init__(self, max_samples: Optional[int] = None):
         self.samples: Dict[str, List[float]] = {}
+        self.max_samples = max_samples
 
     @contextlib.contextmanager
     def measure(self, stage: str):
@@ -47,11 +52,13 @@ class LatencyHistogram:
         try:
             yield
         finally:
-            self.samples.setdefault(stage, []).append(
-                time.perf_counter() - t0)
+            self.add(stage, time.perf_counter() - t0)
 
     def add(self, stage: str, seconds: float):
-        self.samples.setdefault(stage, []).append(seconds)
+        xs = self.samples.setdefault(stage, [])
+        xs.append(seconds)
+        if self.max_samples is not None and len(xs) > 2 * self.max_samples:
+            del xs[:-self.max_samples]
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         out = {}
