@@ -55,6 +55,10 @@ def main():
                    help="feed raw uint8 frames to the multistream stage "
                         "(SigLIP encode in the loop — BASELINE config #5 "
                         "at N streams)")
+    p.add_argument("--ms_churn", type=int, default=0,
+                   help="N > 0: every N ticks close the longest-running "
+                        "dialogue and admit a fresh one in its slot "
+                        "(continuous batching under churn)")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -191,37 +195,57 @@ def main():
                     rngf, (per_stream, fnt, cfg.vision_hidden_size),
                     jnp.float32))
 
+            def admit(i):
+                ms.input_frames(i, 0.0, feats)
+                for qt in range(0, per_stream, 8):
+                    ms.input_query(i, "What am I doing?",
+                                   qt / cfg.frame_fps)
+
             def run_ms():
                 ms.reset()
                 responses = 0
+                frames_total = args.streams * per_stream
                 for i in range(args.streams):
-                    ms.input_frames(i, 0.0, feats)
-                    for qt in range(0, per_stream, 8):
-                        ms.input_query(i, "What am I doing?",
-                                       qt / cfg.frame_fps)
+                    admit(i)
                 ticks = 0
-                while ms.pending() and ticks < per_stream * 4:
+                churn_rr = 0
+                closes = 0
+                while ms.pending() and ticks < per_stream * 8:
                     results = ms.step()
                     responses += sum(r is not None for r in results)
                     ticks += 1
-                return responses, ticks
+                    if (args.ms_churn and closes < args.streams
+                            and ticks % args.ms_churn == 0):
+                        # continuous batching under churn: end the
+                        # round-robin-next dialogue, admit a fresh one
+                        # (bounded at one full slot turnover so the run
+                        # drains)
+                        i = churn_rr % args.streams
+                        churn_rr += 1
+                        ms.close_stream(i)
+                        closes += 1
+                        frames_total += per_stream
+                        admit(i)
+                return responses, ticks, closes, frames_total
 
             progress("compiling multistream engine...")
             run_ms()  # warmup/compile
             progress("measuring multistream aggregate FPS...")
             t0 = time.perf_counter()
-            responses, ticks = run_ms()
+            responses, ticks, closes, frames_total = run_ms()
             dt = time.perf_counter() - t0
-            agg = args.streams * per_stream / dt
+            agg = frames_total / dt
             report["multistream_streams"] = args.streams
             report["multistream_paged"] = ms.paged
             report["multistream_pixels"] = bool(args.ms_pixels)
             report["multistream_aggregate_fps"] = round(agg, 1)
             report["multistream_responses"] = responses
             report["multistream_ticks"] = ticks
+            if args.ms_churn:
+                report["multistream_churn_closes"] = closes
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
                      f"{args.streams} streams ({responses} responses, "
-                     f"{ticks} ticks)")
+                     f"{ticks} ticks, {closes} dialogue turnovers)")
             if args.ms_spec_decode:
                 steps, emitted = (int(x) for x in ms.spec_stats())
                 report["multistream_spec_tokens_per_step"] = round(

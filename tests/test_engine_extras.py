@@ -122,3 +122,22 @@ def test_stream_window_compaction_matches_uncompacted():
     assert small_eng._host_offset <= 640
     assert small_out == big_out
     assert len(small_out) > 0
+
+
+def test_engine_stats_snapshot():
+    """stats() reflects cache occupancy and queue depths from host state
+    (no device readback needed)."""
+    cfg, tok, params = _setup()
+    engine = LiveInferEngine(params, tok, cfg, kv_capacity=512)
+    st0 = engine.stats()
+    assert st0["offset"] == 0 and st0["kv_capacity"] == 512
+    feats = np.random.RandomState(0).randn(
+        4, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+    engine.load_video(feats)
+    engine.input_query_stream("what now?", video_time=0.5)
+    engine.input_video_stream(1.0)
+    engine()
+    st = engine.stats()
+    assert st["offset"] > 0
+    assert st["queued_queries"] == 0  # consumed by the tick
+    assert st["video_time"] >= 0.5

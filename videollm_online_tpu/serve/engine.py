@@ -891,6 +891,22 @@ class LiveInferEngine:
         accepted drafts per step = tokens/steps - 1."""
         return np.asarray(self._sstats)
 
+    def stats(self) -> Dict[str, Any]:
+        """Serving observability snapshot (host state only — zero device
+        readbacks): cache occupancy, queue depths, in-flight speculative
+        and pipelined dispatches (MultiStreamEngine.stats's single-stream
+        sibling)."""
+        return {
+            "offset": int(self._host_offset),
+            "kv_capacity": self.kv_capacity,
+            "queued_frames": len(self.frame_embeds_queue),
+            "queued_queries": len(self.query_queue),
+            "pending_responses": len(self._resp_out),
+            "inflight_speculative": len(self._spec_queue),
+            "inflight_pipelined": len(self._pipe),
+            "video_time": float(self.video_time),
+        }
+
     def set_threshold(self, threshold: float):
         """Adjust the streaming gate threshold at runtime without a
         recompile (the Gradio slider, reference demo/app.py:54-57) — the
