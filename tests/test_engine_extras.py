@@ -141,3 +141,48 @@ def test_engine_stats_snapshot():
     assert st["offset"] > 0
     assert st["queued_queries"] == 0  # consumed by the tick
     assert st["video_time"] >= 0.5
+
+
+def test_swap_params_no_recompile():
+    """Hot adapter swap: identical-structure weights serve the next
+    dispatch with ZERO new compilations, and transcripts equal a fresh
+    engine built with the new weights; mismatched trees are rejected."""
+    import jax
+    from videollm_online_tpu.models import live as live_mod
+
+    cfg, tok, params = _setup()
+    params2 = live_mod.init_params(jax.random.PRNGKey(7), cfg)
+    feats = np.random.RandomState(0).randn(
+        4, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+
+    def drive(engine):
+        engine.load_video(feats)
+        engine.input_query_stream("what now?", video_time=0.5)
+        out = []
+        for i in range(4):
+            engine.input_video_stream(i / engine.frame_fps)
+            while True:
+                q, r = engine()
+                if r is None:
+                    break
+                out.append((q, r))
+        return out
+
+    e = LiveInferEngine(params, tok, cfg, kv_capacity=512)
+    drive(e)
+    sizes = {n: getattr(e, n)._cache_size()
+             for n in ("_ingest_stream", "_prefill", "_respond")}
+    e.reset()
+    e.swap_params(params2)
+    swapped_out = drive(e)
+    for n, s in sizes.items():
+        assert getattr(e, n)._cache_size() == s, f"{n} recompiled"
+
+    fresh = LiveInferEngine(params2, tok, cfg, kv_capacity=512)
+    assert drive(fresh) == swapped_out
+
+    import pytest as _pytest
+    bad = dict(params2)
+    bad.pop("connector")
+    with _pytest.raises(ValueError, match="structure"):
+        e.swap_params(bad)

@@ -96,6 +96,22 @@ def _pack_valid_first(embeds: jax.Array, bucket: int, num_valid: jax.Array
     return jnp.roll(embeds, -(bucket - num_valid), axis=1)
 
 
+def _check_same_tree(old, new):
+    """swap_params guard: identical pytree structure + leaf shapes/dtypes
+    (anything else would silently recompile every serving program)."""
+    old_leaves, old_def = jax.tree_util.tree_flatten(old)
+    new_leaves, new_def = jax.tree_util.tree_flatten(new)
+    if old_def != new_def:
+        raise ValueError(
+            f"swap_params: tree structure changed ({new_def} != {old_def})")
+    for o, n in zip(old_leaves, new_leaves):
+        os = (getattr(o, "shape", None), getattr(o, "dtype", None))
+        ns = (getattr(n, "shape", None), getattr(n, "dtype", None))
+        if os != ns:
+            raise ValueError(
+                f"swap_params: leaf shape/dtype changed ({ns} != {os})")
+
+
 class LiveInferEngine:
     def __init__(
         self,
@@ -906,6 +922,20 @@ class LiveInferEngine:
             "inflight_pipelined": len(self._pipe),
             "video_time": float(self.video_time),
         }
+
+    def swap_params(self, params):
+        """Hot-swap model weights (e.g., a freshly trained LoRA adapter)
+        without recompiling: params are traced ARGUMENTS of every jitted
+        program, so an identical-structure tree serves the very next
+        dispatch — the reference must rebuild its whole PEFT model to
+        change adapters (modeling_live.py:203-216). The new tree must
+        match the old one's structure/shapes/dtypes; a silent mismatch
+        would recompile 5-10 min remote programs, so it raises instead."""
+        _check_same_tree(self.params, params)
+        self.params = params
+        if self.vision_params is not None and self.encoder_device is not None:
+            self._enc_connector = jax.device_put(params["connector"],
+                                                 self.encoder_device)
 
     def set_threshold(self, threshold: float):
         """Adjust the streaming gate threshold at runtime without a

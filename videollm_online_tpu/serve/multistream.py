@@ -856,6 +856,18 @@ class MultiStreamEngine:
         path). Mean accepted drafts per step = tokens/steps - 1."""
         return np.asarray(self._sstats)
 
+    def swap_params(self, params):
+        """Hot-swap model weights for ALL streams without recompiling
+        (params are traced arguments of every tick program; see
+        LiveInferEngine.swap_params). Resolve in-flight pipelined work
+        first so no dispatch mixes two weight sets."""
+        from .engine import _check_same_tree
+        _check_same_tree(self.params, params)
+        while self._pipe:
+            self._pipe_resolve()
+        self._carry = None
+        self.params = params
+
     def _shed_lag(self):
         """Realtime backpressure: drop each lagging stream's OLDEST queued
         frames down to ``max_lag_frames`` (host-only; never touches device
