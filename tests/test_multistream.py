@@ -523,3 +523,53 @@ def test_fork_pool_exhaustion_leaves_allocator_clean():
     assert np.array_equal(ms._page_refs, refs_before)
     assert np.array_equal(ms._table_host, table_before)
     assert ms._pages_alloc[1] == 0
+
+
+def test_fork_then_window_compaction_refcounts():
+    """fork_stream composed with stream_window page-granular compaction:
+    after forking, each branch compacts independently — freed SHARED
+    pages only return to the pool when BOTH branches drop them, and both
+    branches' transcripts equal unforked oracles driven with the same
+    prefix + continuation."""
+    cfg, tok, params = _setup(threshold=1.0, seed=9)  # gate-forced output
+    rng = np.random.RandomState(57)
+
+    def mk(n):
+        return rng.randn(n, cfg.frame_num_tokens,
+                         cfg.vision_hidden_size).astype(np.float32)
+
+    prefix, contA, contB = mk(10), mk(10), mk(10)
+    W = 128
+    eng = dict(num_streams=3, kv_capacity=1024, chunk_frames=4, paged=True,
+               page_size=64, stream_window=W)
+
+    def drive_until_idle(ms, n=128):
+        for _ in range(n):
+            ms.step()
+            if not ms.pending():
+                break
+        assert not ms.pending()
+
+    ms = MultiStreamEngine(params, tok, cfg, **eng)
+    ms.input_frames(0, 0.0, prefix)
+    drive_until_idle(ms)
+    ms.fork_stream(0, 1)
+    shared = int(np.sum(ms._page_refs == 2))
+    assert shared >= 1
+    ms.input_frames(0, 6.0, contA)
+    ms.input_frames(1, 6.0, contB)
+    drive_until_idle(ms)
+    # both branches ran far past the window: compaction freed old pages,
+    # including previously-shared ones (each branch dropped its ref)
+    assert ms._pos_base_host[0] > 0 and ms._pos_base_host[1] > 0
+    live = int(np.sum(ms._page_refs > 0))
+    assert len(ms._free_pages) == ms.pool_pages - 1 - live
+    assert np.all(ms._page_refs >= 0)
+
+    for cont, slot in ((contA, 0), (contB, 1)):
+        ref = MultiStreamEngine(params, tok, cfg, **eng)
+        ref.input_frames(0, 0.0, prefix)
+        drive_until_idle(ref)
+        ref.input_frames(0, 6.0, cont)
+        drive_until_idle(ref)
+        assert ms.transcripts[slot] == ref.transcripts[0], f"branch {slot}"
