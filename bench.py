@@ -189,7 +189,8 @@ def main():
             # weight-streaming pass; transcripts identical to greedy.
             # Default ON (BENCH_SPEC_DECODE=0 disables).
             spec_decode=os.environ.get("BENCH_SPEC_DECODE", "1")
-            not in ("0", "false"))
+            not in ("0", "false"),
+            spec_draft=int(os.environ.get("BENCH_SPEC_DRAFT", "0")) or None)
 
         # BENCH_PACING=sustained feeds frames in CHUNK-sized arrivals (the
         # catch-up/throughput profile: one host sync per chunked dispatch);

@@ -233,3 +233,24 @@ def test_engine_spec_decode_accepts_across_turns():
     assert len(ta) >= 3  # identical frames/queries -> repeated turns
     steps, emitted = (int(x) for x in a.spec_stats())
     assert steps < emitted, (steps, emitted)  # drafts accepted overall
+
+
+def test_engine_spec_draft_override_exact():
+    """A non-default draft length must keep transcripts byte-identical to
+    greedy (verification guarantees it regardless of K)."""
+    cfg, tok, params = _setup(threshold=0.725, seed=2)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(12, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    frame_times = [5.5]
+    queries = [(1.0, "what now?")]
+
+    ref = _run_engine(LiveInferEngine(params, tok, cfg, kv_capacity=2048),
+                      cfg, feats, frame_times, queries)
+    for k in (3, 12):
+        e = LiveInferEngine(params, tok, cfg, kv_capacity=2048,
+                            spec_decode=True, spec_draft=k)
+        got = _run_engine(e, cfg, feats, frame_times, queries)
+        assert got == ref, f"K={k}"
+        assert e.spec_draft == k
+    assert len(ref) >= 1

@@ -112,7 +112,8 @@ def build_engine(args):
                            speculative=getattr(args, "speculative", False),
                            pipelined=getattr(args, "pipelined", False),
                            kv_quant=getattr(args, "kv_quant", "") or None,
-                           spec_decode=getattr(args, "spec_decode", False)
+                           spec_decode=getattr(args, "spec_decode", False),
+                           spec_draft=getattr(args, "spec_draft", None) or None
                            ), cfg
 
 
@@ -153,6 +154,10 @@ def main(argv=None):
                         "weight-streaming forward (drafts from a device "
                         "token-history ring); transcripts byte-identical "
                         "to greedy")
+    p.add_argument("--spec_draft", type=int, default=0,
+                   help="drafted tokens per verify step (0 = default; "
+                        "decode is weight-bound so larger K is nearly "
+                        "free — K study in BENCH_NOTES.md)")
     p.add_argument("--pipelined", action="store_true",
                    help="sustained-mode dispatch pipelining: the next burst "
                         "dispatches before the previous packed readback, "

@@ -131,6 +131,7 @@ class LiveInferEngine:
         pipelined: bool = False,
         kv_quant: Optional[str] = None,
         spec_decode: bool = False,
+        spec_draft: Optional[int] = None,
     ):
         # spec_decode: n-gram (prompt-lookup) speculative decoding inside
         # every response generation (models/generate.py). Decode is
@@ -142,6 +143,16 @@ class LiveInferEngine:
         # construction (verification); .spec_stats() reports
         # [verify_steps, emitted_tokens]. Opt-in.
         self.spec_decode = spec_decode
+        # drafted tokens per verify step. Decode is weight-streaming-bound
+        # so a bigger K is nearly free compute-wise; past the response
+        # budget it drafts tokens that can never emit. Measured knee
+        # (BENCH_NOTES.md K study, 8B): K = budget-1 wins — one forward
+        # can verify a whole predicted response — with a cap for long
+        # budgets where acceptance runs are shorter than the budget.
+        self.spec_draft = int(
+            spec_draft
+            or max(1, min((cfg or tokenizer.cfg).max_response_tokens - 1,
+                          19)))
         # kv_quant="int8": per-token-per-head symmetric int8 KV cache —
         # halves KV memory (2x stream capacity at a given kv_capacity) and
         # halves attention's KV HBM reads; the Pallas decode kernels
@@ -484,7 +495,8 @@ class LiveInferEngine:
                     gen_mod.ngram_speculative_generate(
                         params, cfg, cache, embeds, sel_n[None], hist,
                         hcount, prompt_ids=rolled[0], prompt_n=sel_n,
-                        max_new_tokens=max_new, attn_impl=self.attn_impl))
+                        max_new_tokens=max_new, draft_len=self.spec_draft,
+                        attn_impl=self.attn_impl))
                 stats = stats + st
             else:
                 out_ids, length, cache = gen_mod.greedy_generate(

@@ -70,6 +70,7 @@ class MultiStreamEngine:
                  pipeline_depth: int = 2,
                  kv_quant: Optional[str] = None,
                  spec_decode: bool = False,
+                 spec_draft: Optional[int] = None,
                  paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None,
                  vision_params=None,
@@ -111,6 +112,14 @@ class MultiStreamEngine:
         assert kv_quant in (None, "int8"), kv_quant
         self.kv_quant = kv_quant
         self.spec_decode = spec_decode
+        # K = response budget - 1 capped at 19 (single-stream K study,
+        # BENCH_NOTES.md): one verify forward can emit a whole predicted
+        # response; past the budget drafts can never emit
+        self.spec_draft = int(
+            spec_draft
+            or max(1, min((max_new_tokens
+                           or (cfg or tokenizer.cfg).max_response_tokens)
+                          - 1, 19)))
         if paged is None:
             need = 2 * page_size + (stream_window or 0)
             paged = kv_capacity >= need
@@ -343,7 +352,7 @@ class MultiStreamEngine:
             return out, lengths, cache
 
         spec_on = self.spec_decode
-        Ksp = gen_mod.SPEC_DRAFT
+        Ksp = self.spec_draft
 
         def _respond_core_spec(params, cache, prompt_ids, num_valid, active,
                                hist, hcount, stats):
