@@ -55,6 +55,10 @@ def main():
                    help="feed raw uint8 frames to the multistream stage "
                         "(SigLIP encode in the loop — BASELINE config #5 "
                         "at N streams)")
+    p.add_argument("--ms_no_prefix_cache", action="store_true",
+                   help="disable automatic prefix caching (paged mode "
+                        "admissions re-run the system-prompt prefill; "
+                        "A/B for the churn stage)")
     p.add_argument("--ms_churn", type=int, default=0,
                    help="N > 0: every N ticks close the longest-running "
                         "dialogue and admit a fresh one in its slot "
@@ -185,6 +189,7 @@ def main():
                                    kv_quant=args.kv_quant or None,
                                    spec_decode=args.ms_spec_decode,
                                    paged=False if args.ring else args.paged,
+                                   prefix_cache=not args.ms_no_prefix_cache,
                                    vision_params=ms_vparams)
             if args.ms_pixels:
                 feats = np.random.RandomState(7).randint(
@@ -243,6 +248,8 @@ def main():
             report["multistream_ticks"] = ticks
             if args.ms_churn:
                 report["multistream_churn_closes"] = closes
+            if ms.paged:
+                report["multistream_prefix_hits"] = ms._prefix_hits
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
                      f"{args.streams} streams ({responses} responses, "
                      f"{ticks} ticks, {closes} dialogue turnovers)")

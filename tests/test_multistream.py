@@ -381,7 +381,11 @@ def test_fork_stream_branches_dialogue():
     for kw in (dict(paged=True, page_size=64),
                dict(paged=True, page_size=64, kv_quant="int8",
                     pipelined=True, pipeline_depth=2)):
-        eng = dict(num_streams=3, kv_capacity=2048, chunk_frames=4, **kw)
+        # prefix_cache off: this test's refcount arithmetic assumes fork
+        # refs only (the template's own aliases would shift the counts);
+        # prefix-cache accounting is covered in test_prefix_cache_*
+        eng = dict(num_streams=3, kv_capacity=2048, chunk_frames=4,
+                   prefix_cache=False, **kw)
         ms = MultiStreamEngine(params, tok, cfg, **eng)
         ms.input_frames(0, 0.0, prefix)
         ms.input_query(0, "what now?", video_time=1.2)
@@ -491,8 +495,10 @@ def test_max_lag_backpressure_and_stats():
     assert st["ticks"]["count"] >= 1 and st["ticks"]["p50_ms"] > 0
     # paged accounting consistency (auto default is paged at this capacity)
     assert ms.paged
+    # free + stream-mapped + prefix-template-owned pages cover the pool
+    # (no stream shares pages here: no fork, no re-admission)
     assert st["pool"]["pages_free"] + sum(st["pool"]["pages_per_stream"]) \
-        == st["pool"]["pages_total"]
+        + st["pool"]["prefix_tail_pages"] == st["pool"]["pages_total"]
     # engine still serves after shedding: frames 24..31 were ingested
     assert int(ms._host_offsets[0]) >= 8 * cfg.frame_num_tokens
 
@@ -573,3 +579,133 @@ def test_fork_then_window_compaction_refcounts():
         ref.input_frames(0, 6.0, cont)
         drive_until_idle(ref)
         assert ms.transcripts[slot] == ref.transcripts[0], f"branch {slot}"
+
+
+def test_prefix_cache_admission_matches_prefill():
+    """Automatic prefix caching (paged mode): re-admitting a NEW dialogue
+    into a closed slot aliases the cached system-prompt KV pages (one
+    tail-page copy) instead of re-running the prefill forward. The whole
+    churn drive must produce byte-identical transcripts with the cache on
+    and off, hits must be counted, and the page accounting must stay
+    exact — including when the re-admitted dialogue is then forked (the
+    template's aliases compose with fork's refcounts)."""
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    rng = np.random.RandomState(61)
+
+    def mk(n):
+        return rng.randn(n, cfg.frame_num_tokens,
+                         cfg.vision_hidden_size).astype(np.float32)
+
+    A, B, C = mk(8), mk(8), mk(8)
+    none = np.zeros((0, cfg.frame_num_tokens, cfg.vision_hidden_size),
+                    np.float32)
+    schedule = [0.0, 1.5, 3.0, 5.0]
+    for kw in (dict(),
+               dict(pipelined=True, pipeline_depth=2, kv_quant="int8")):
+        outs = {}
+        for pc in (True, False):
+            ms = MultiStreamEngine(params, tok, cfg, num_streams=3,
+                                   kv_capacity=1024, chunk_frames=4,
+                                   paged=True, page_size=64,
+                                   prefix_cache=pc, **kw)
+            out1 = _drive(ms, [A, B, none], {0: (1.2, "what now?")},
+                          schedule, cfg.frame_fps)
+            t0 = ms.close_stream(0)
+            out2 = _drive(ms, [C, none, none], {0: (0.9, "anything?")},
+                          schedule, cfg.frame_fps)
+            outs[pc] = (out1, t0, out2)
+            if pc:
+                assert ms._prefix_hits >= 1, "re-admission must hit"
+                assert len(ms._prefix_entries) == 1
+                # fork composes: slot 0's table mixes template-aliased
+                # prefix pages with private ones; refcounts stay exact
+                ms.fork_stream(0, 2)
+                ms.close_stream(0)
+                ms.close_stream(2)
+            else:
+                assert ms._prefix_hits == 0
+                assert not ms._prefix_entries
+            # full accounting after everything: free list + live refs
+            # (incl. the template's) cover the whole pool
+            ms.close_stream(1)
+            live = int(np.sum(ms._page_refs > 0))
+            assert len(ms._free_pages) == ms.pool_pages - 1 - live
+            assert np.all(ms._page_refs >= 0)
+        assert outs[True] == outs[False], (
+            f"prefix-cache transcripts diverged ({kw}):\n"
+            f"on={outs[True]}\noff={outs[False]}")
+
+
+def test_prefix_cache_swap_params_invalidates():
+    """swap_params must drop cached prefix KV (it was computed under the
+    old weights): after a hot swap, a re-admitted dialogue's transcript
+    must equal a FRESH engine built with the new weights."""
+    cfg, tok, params = _setup(threshold=0.725, seed=9)
+    params2 = live.init_params(jax.random.PRNGKey(123), cfg)
+    rng = np.random.RandomState(67)
+
+    def mk(n):
+        return rng.randn(n, cfg.frame_num_tokens,
+                         cfg.vision_hidden_size).astype(np.float32)
+
+    A, C = mk(8), mk(8)
+    none = np.zeros((0, cfg.frame_num_tokens, cfg.vision_hidden_size),
+                    np.float32)
+    schedule = [0.0, 1.5, 3.0, 5.0]
+    eng = dict(num_streams=2, kv_capacity=1024, chunk_frames=4,
+               paged=True, page_size=64)
+    ms = MultiStreamEngine(params, tok, cfg, **eng)
+    _drive(ms, [A, none], {}, schedule, cfg.frame_fps)
+    assert len(ms._prefix_entries) == 1
+    ms.close_stream(0)
+    ms.swap_params(params2)
+    assert not ms._prefix_entries, "stale prefix KV survived the swap"
+    out = _drive(ms, [C, none], {0: (0.9, "anything?")}, schedule,
+                 cfg.frame_fps)
+    fresh = MultiStreamEngine(params2, tok, cfg, **eng)
+    ref = _drive(fresh, [C, none], {0: (0.9, "anything?")}, schedule,
+                 cfg.frame_fps)
+    assert out[0] == ref[0]
+    # page accounting stayed exact through evict + re-cache
+    live_refs = int(np.sum(ms._page_refs > 0))
+    assert len(ms._free_pages) == ms.pool_pages - 1 - live_refs
+
+
+def test_prefix_cache_evicts_under_pool_pressure():
+    """The prefix cache must never cause an allocation failure a cacheless
+    engine would not hit: when _paged_admit cannot find free pages, it
+    evicts the template (freeing its privately-owned tail page) and
+    retries. Only template-owned pages can actually free — stream tables
+    never reference them — so in-flight dispatches are unaffected."""
+    cfg, tok, params = _setup(threshold=1.0, seed=9)
+    rng = np.random.RandomState(71)
+    feats = rng.randn(4, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=1,
+                           kv_capacity=2048, chunk_frames=4, paged=True,
+                           page_size=64)
+    ms.input_frames(0, 0.0, feats)
+    for _ in range(16):
+        ms.step()
+        if not ms.pending():
+            break
+    assert len(ms._prefix_entries) == 1
+    tail = ms._prefix_entries[tuple(ms._start_ids)]["tail_page"]
+    assert tail is not None and ms._page_refs[tail] == 1
+    # drain the free list so the next page allocation must evict
+    drained = list(ms._free_pages)
+    ms._free_pages.clear()
+    budget = (ms._pages_alloc[0] * ms.page_size
+              - int(ms._host_offsets[0]) + 1)  # forces one more page
+    assert ms._paged_admit([0], budget), "eviction should satisfy this"
+    assert not ms._prefix_entries
+    assert ms._table_host[0, ms._pages_alloc[0] - 1] == tail, (
+        "the freed template page should serve the new allocation")
+    ms._free_pages.extend(drained)
+    # the engine keeps serving after eviction
+    ms.input_frames(0, 2.0, feats)
+    for _ in range(16):
+        ms.step()
+        if not ms.pending():
+            break
+    assert not ms.pending()

@@ -73,6 +73,7 @@ class MultiStreamEngine:
                  spec_draft: Optional[int] = None,
                  paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None,
+                 prefix_cache: bool = True,
                  vision_params=None,
                  max_lag_frames: Optional[int] = None):
         # fused: whole tick (ingest + inline responses) as one dispatch;
@@ -120,10 +121,20 @@ class MultiStreamEngine:
             or max(1, min((max_new_tokens
                            or (cfg or tokenizer.cfg).max_response_tokens)
                           - 1, 19)))
+        # prefix_cache (paged mode): automatic prefix caching for stream
+        # admission — the FIRST system-prompt prefill snapshots its KV
+        # pages as a refcounted template (full pages aliased, the partial
+        # tail page copied once into a template-owned page); every later
+        # admission with the same start ids aliases the template's full
+        # pages and copies ONE tail page instead of re-running the prefill
+        # forward. vLLM-style; the reference re-prefills per dialogue
+        # (demo/inference.py:84 reset + a fresh torch cache). Invalidated
+        # by swap_params (cached KV depends on the weights).
         if paged is None:
             need = 2 * page_size + (stream_window or 0)
             paged = kv_capacity >= need
         self.paged = paged
+        self.prefix_cache = bool(prefix_cache) and self.paged
         self.page_size = page_size
         self._maxp = -(-kv_capacity // page_size)
         self.pool_pages = (pool_pages if pool_pages is not None
@@ -740,6 +751,41 @@ class MultiStreamEngine:
             return cache._replace(**upd)
 
         self._copy_page = jax.jit(copy_page, donate_argnums=(0,))
+
+        def copy_page_multi(cache, p_src, dsts):
+            # prefix-cache admission: scatter ONE source page into M
+            # destination pages (M static by dsts' shape; padding dsts
+            # with the trash page 0 is junk-safe). Donated: only M pages
+            # of HBM traffic move, the pools update in place.
+            def cp(pool):
+                page = jax.lax.dynamic_slice_in_dim(pool, p_src, 1, axis=1)
+
+                def body(j, pl):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        pl, page, dsts[j], axis=1)
+
+                return jax.lax.fori_loop(0, dsts.shape[0], body, pool)
+
+            upd = {"k": cp(cache.k), "v": cp(cache.v)}
+            if cache.k_scale is not None:
+                upd["k_scale"] = cp(cache.k_scale)
+                upd["v_scale"] = cp(cache.v_scale)
+            return cache._replace(**upd)
+
+        self._copy_page_multi = jax.jit(copy_page_multi, donate_argnums=(0,))
+
+        def mask_set_offsets(cache, mask, vals):
+            # per-stream offset/pos_base install for prefix-cache
+            # admissions: ONLY the masked (fresh) slots change, so this is
+            # safe while pipelined dispatches are in flight for sibling
+            # streams (their device offsets are ahead of the host mirror —
+            # the wholesale _set_offsets would clobber them)
+            return cache._replace(
+                offset=jnp.where(mask, vals, cache.offset),
+                pos_base=jnp.where(mask, 0, cache.pos_base))
+
+        self._mask_set_offsets = jax.jit(mask_set_offsets,
+                                         donate_argnums=(0,))
         self._compact_jit = jax.jit(llama.compact_kv_cache,
                                     donate_argnums=(0,))
         self._respond = jax.jit(respond, donate_argnums=(1,))
@@ -784,6 +830,11 @@ class MultiStreamEngine:
             self.cache = llama.init_kv_cache(
                 self.cfg.llama, batch=self.N, capacity=self.kv_capacity,
                 dtype=jnp.dtype(self.cfg.llama.dtype), quant=self.kv_quant)
+        # prefix cache: start-ids tuple -> {pages, tail_page, length};
+        # entries hold their own page refs (the allocator above was just
+        # reinitialized, so clearing the dict leaks nothing here)
+        self._prefix_entries: Dict[tuple, Dict[str, Any]] = {}
+        self._prefix_hits = 0
         self.frame_queues = [collections.deque() for _ in range(self.N)]
         self.query_queues = [collections.deque() for _ in range(self.N)]
         self.prepends: List[List[int]] = [[] for _ in range(self.N)]
@@ -875,6 +926,8 @@ class MultiStreamEngine:
         while self._pipe:
             self._pipe_resolve()
         self._carry = None
+        # cached prefix KV was computed under the OLD weights
+        self._clear_prefix_cache()
         self.params = params
 
     def _shed_lag(self):
@@ -912,6 +965,13 @@ class MultiStreamEngine:
                 "pages_free": len(self._free_pages),
                 "pages_per_stream": list(self._pages_alloc),
                 "page_size": self.page_size,
+                "prefix_entries": len(self._prefix_entries),
+                "prefix_hits": self._prefix_hits,
+                # template-OWNED pages (the copied partial tails; aliased
+                # full pages live in stream tables and are not re-counted)
+                "prefix_tail_pages": sum(
+                    1 for e in self._prefix_entries.values()
+                    if e["tail_page"] is not None),
             }
         return out
 
@@ -1034,15 +1094,38 @@ class MultiStreamEngine:
             self._compact_paged()
         over = [i for i in idxs
                 if int(self._host_offsets[i]) + budget > self.kv_capacity]
+        if not over and not self._ensure_pages(idxs, budget) \
+                and self._prefix_entries:
+            # pool pressure evicts the prefix cache before failing a
+            # dispatch: the only page this can actually free is the
+            # template-owned tail page, which no stream table references
+            # (streams hold private COPIES), so in-flight dispatches are
+            # unaffected. Live-stream pages the templates alias merely
+            # drop a refcount.
+            self._clear_prefix_cache()
         return not over and self._ensure_pages(idxs, budget)
 
     # ------------------------------------------------------------------ tick
     def _prefill_starts(self):
-        """System-prompt prefill for streams that still need it, batched."""
+        """System-prompt prefill for streams that still need it, batched.
+
+        With ``prefix_cache`` (paged mode), the first admission prefills
+        normally and snapshots the resulting KV pages as a template; every
+        later admission with the same start ids aliases the template's
+        full pages (refcounted, zero data movement — the fork_stream
+        invariant: appends only write at slots >= offset, so a shared
+        full page is never rewritten) and copies one tail page, skipping
+        the prefill forward entirely."""
         todo = [i for i in range(self.N) if self._needs_prefill[i]
                 and self.frame_queues[i]]
         if not todo:
             return
+        key = tuple(self._start_ids)
+        if self.prefix_cache:
+            ent = self._prefix_entries.get(key)
+            if ent is not None and self._admit_from_prefix(todo, ent):
+                self._prefix_hits += len(todo)
+                return
         P = -(-len(self._start_ids) // PROMPT_BUCKET) * PROMPT_BUCKET
         ids = np.zeros((self.N, P), np.int32)
         nv = np.zeros((self.N,), np.int32)
@@ -1062,6 +1145,93 @@ class MultiStreamEngine:
                                "raise pool_pages")
         self.cache = self._prefill(self.params, self.cache, jnp.asarray(ids),
                                    jnp.asarray(nv), jnp.asarray(active))
+        if self.prefix_cache and key not in self._prefix_entries:
+            self._build_prefix_template(todo[0], key)
+
+    def _build_prefix_template(self, donor: int, key: tuple) -> None:
+        """Snapshot the just-prefilled ``donor``'s KV pages as the prefix
+        template. Full pages are aliased (the donor's own appends never
+        rewrite them); the partial tail page is copied into a
+        template-owned page NOW, before the donor's first append writes
+        into it. Skipped (silently) when the pool has no spare page —
+        admissions then keep prefilling normally."""
+        S = len(self._start_ids)
+        full, r = divmod(S, self.page_size)
+        tail = None
+        if r:
+            if not self._free_pages:
+                return
+            tail = self._free_pages.pop()
+            self._page_refs[tail] = 1
+            self.cache = self._copy_page(
+                self.cache, jnp.asarray(tail, jnp.int32),
+                jnp.asarray(int(self._table_host[donor, full]), jnp.int32))
+        pages = [int(self._table_host[donor, j]) for j in range(full)]
+        for p in pages:
+            self._page_refs[p] += 1
+        self._prefix_entries[key] = {
+            "pages": pages, "tail_page": tail, "length": S}
+
+    def _admit_from_prefix(self, todo, ent) -> bool:
+        """Admit ``todo`` fresh slots by aliasing the cached prefix pages:
+        refcount-bump the template's full pages into each slot's table,
+        give each slot a private copy of the template's partial tail page
+        (one batched jitted scatter — M pages of HBM traffic instead of a
+        weight-streaming prefill forward), and install offsets with a
+        masked update (safe with in-flight pipelined dispatches: only the
+        fresh slots' rows change, and no in-flight dispatch involves a
+        slot that still needed prefill). Returns False to fall back to a
+        normal prefill when the pool cannot cover the tail pages."""
+        S = ent["length"]
+        if ent["tail_page"] is not None \
+                and len(self._free_pages) < len(todo):
+            if not self._pipe:
+                self._compact_paged()
+            if len(self._free_pages) < len(todo):
+                return False
+        dsts = []
+        for i in todo:
+            for j, p in enumerate(ent["pages"]):
+                self._page_refs[p] += 1
+                self._table_host[i, j] = p
+            alloc = len(ent["pages"])
+            if ent["tail_page"] is not None:
+                p_new = self._free_pages.pop()
+                self._page_refs[p_new] = 1
+                self._table_host[i, alloc] = p_new
+                dsts.append(p_new)
+                alloc += 1
+            self._pages_alloc[i] = alloc
+            self._host_offsets[i] = S
+            self._pos_base_host[i] = 0
+            self._needs_prefill[i] = False
+            self.prepends[i] = []
+        self.cache = self.cache._replace(table=jnp.asarray(self._table_host))
+        if dsts:
+            # bucket M to a power of two (one compile per bucket, N <= 16
+            # buckets total); padding scatters into the trash page, which
+            # holds junk by design
+            M = 1
+            while M < len(dsts):
+                M *= 2
+            pad = dsts + [0] * (M - len(dsts))
+            self.cache = self._copy_page_multi(
+                self.cache, jnp.asarray(ent["tail_page"], jnp.int32),
+                jnp.asarray(pad, jnp.int32))
+        mask = np.zeros((self.N,), bool)
+        mask[todo] = True
+        self.cache = self._mask_set_offsets(
+            self.cache, jnp.asarray(mask),
+            jnp.asarray(np.full((self.N,), S, np.int32)))
+        return True
+
+    def _clear_prefix_cache(self):
+        for ent in self._prefix_entries.values():
+            for p in ent["pages"]:
+                self._unref_page(p)
+            if ent["tail_page"] is not None:
+                self._unref_page(ent["tail_page"])
+        self._prefix_entries = {}
 
     def step(self) -> List[Optional[Tuple[Optional[str], str]]]:
         """One scheduler tick. Default (``fused=True``): the whole tick —
