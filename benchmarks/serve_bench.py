@@ -249,7 +249,9 @@ def main():
             if args.ms_churn:
                 report["multistream_churn_closes"] = closes
             if ms.paged:
-                report["multistream_prefix_hits"] = ms._prefix_hits
+                pool = ms.stats()["pool"]
+                report["multistream_prefix_hits"] = pool["prefix_hits"]
+                report["multistream_prefix_entries"] = pool["prefix_entries"]
             progress(f"multistream: {agg:.1f} frames/s aggregate over "
                      f"{args.streams} streams ({responses} responses, "
                      f"{ticks} ticks, {closes} dialogue turnovers)")

@@ -172,9 +172,17 @@ def test_multistream_paged_window_frees_pages():
             f"stream {i}:\npaged={got[i]}\nring={ref_out[i]}")
     # every stream generated far more than window tokens -> pages freed
     assert ms._pos_base_host.max() > 0
-    total_pages = ms.pool_pages - 1
-    in_use = sum(ms._pages_alloc)
-    assert len(ms._free_pages) == total_pages - in_use
+    # conservation: free + uniquely-referenced == pool. With prefix_cache
+    # on by default, template-held pages are referenced but in no stream
+    # table, and prefix-admitted streams ALIAS pages — so count unique
+    # referenced pages via the refcounts, not sum(_pages_alloc).
+    pool = ms.stats()["pool"]  # stats() asserts the invariant internally
+    assert pool["pages_free"] == pool["pages_total"] - pool["pages_in_use"]
+    assert len(ms._free_pages) == \
+        ms.pool_pages - 1 - int(np.count_nonzero(ms._page_refs[1:]))
+    # compaction ran past the prefix: the template is now sole owner of
+    # (at least) its copied tail page
+    assert pool["prefix_owned_pages"] >= pool["prefix_tail_pages"]
 
 
 def test_paged_kernel_quantized_matches_reference():
@@ -266,8 +274,10 @@ def test_multistream_paged_quantized_window_frees_pages():
     for i in range(len(ref_out)):
         assert got[i] == ref_out[i]
     assert ms._pos_base_host.max() > 0
-    in_use = sum(ms._pages_alloc)
-    assert len(ms._free_pages) == ms.pool_pages - 1 - in_use
+    pool = ms.stats()["pool"]  # stats() asserts conservation internally
+    assert pool["pages_free"] == pool["pages_total"] - pool["pages_in_use"]
+    assert len(ms._free_pages) == \
+        ms.pool_pages - 1 - int(np.count_nonzero(ms._page_refs[1:]))
 
 
 def test_multistream_paged_pool_sharing():
@@ -294,3 +304,61 @@ def test_multistream_paged_pool_sharing():
     assert int(ms._host_offsets[0]) > 1000  # the long stream really ran
     assert ms._pages_alloc[0] > 2 * ms._pages_alloc[1]
     assert sum(ms._pages_alloc) <= 40
+
+
+def test_paged_pool_conservation_invariant_through_lifecycle():
+    """stats() asserts the refcount allocator's conservation invariant
+    (free XOR referenced; every ref owned by a table entry or a prefix
+    template) — drive the full page lifecycle and check it at every
+    quiescent point: prefill + template build, prefix-cache re-admission
+    (page aliasing), window compaction past the prefix (template becomes
+    sole owner of full prefix pages), close_stream, cache eviction. Any
+    future leak in any of these paths trips the in-stats() asserts."""
+    from videollm_online_tpu.serve.multistream import MultiStreamEngine
+
+    from test_multistream import _drive, _setup
+    cfg, tok, params = _setup(threshold=1.0, seed=9)  # gate never fires
+    N = 3
+    rng = np.random.RandomState(77)
+    feats = [rng.randn(24, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=N,
+                           kv_capacity=1024, chunk_frames=4, paged=True,
+                           page_size=64, stream_window=256,
+                           prefix_cache=True)
+
+    def check():
+        pool = ms.stats()["pool"]  # internal asserts run here
+        assert pool["pages_free"] + pool["pages_in_use"] \
+            == pool["pages_total"]
+        return pool
+
+    # long drive: prefill (template built), window compaction fires
+    _drive(ms, feats, {0: (1.2, "what now?")}, [0.0, 3.0, 6.0, 12.0],
+           cfg.frame_fps)
+    pool = check()
+    assert ms._pos_base_host.max() > 0, "compaction must have run"
+    assert pool["prefix_entries"] == 1
+    # compaction ran past the prefix on every stream: the template is the
+    # sole owner of all its pages (full + tail)
+    S = len(ms._start_ids)
+    assert pool["prefix_owned_pages"] == -(-S // ms.page_size)
+
+    # close a stream, re-admit from the prefix template (aliasing path)
+    ms.close_stream(0)
+    check()
+    ms.input_frames(0, 0.0, feats[0][:4])
+    ms.step()
+    pool = check()
+    assert pool["prefix_hits"] >= 1
+    # drain + close everything; evict the cache -> the ENTIRE pool is free
+    while ms.pending():
+        ms.step()
+    for i in range(N):
+        ms.close_stream(i)
+    check()
+    ms._clear_prefix_cache()
+    pool = check()
+    assert pool["pages_free"] == pool["pages_total"]
+    assert pool["pages_in_use"] == 0

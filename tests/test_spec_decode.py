@@ -254,3 +254,72 @@ def test_engine_spec_draft_override_exact():
         assert got == ref, f"K={k}"
         assert e.spec_draft == k
     assert len(ref) >= 1
+
+
+def test_spec_adversarial_zero_drafts_worst_case(setup):
+    """draft_mode="zero" pins the adversarial lower bound (VERDICT r3 #3):
+    constant-zero drafts are (almost) never the greedy continuation, so
+    every verify step emits exactly ONE token — the same forward count as
+    plain greedy, each forward merely K+1 positions wide — and the output
+    stream is still byte-identical to greedy (verification)."""
+    cfg, params = setup
+    ids = [5, 9, 200, 31, 7, 77]
+    max_new = 24
+    g_out, g_len, g_off = _greedy(params, cfg, ids, max_new)
+    cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=256)
+    hist, hc = _fresh_hist()
+    out, length, cache, hist, hc, stats = gen.ngram_speculative_generate(
+        params, cfg, cache, _emb(params, cfg, ids),
+        jnp.asarray([len(ids)], jnp.int32), hist, hc,
+        prompt_ids=jnp.asarray(ids, jnp.int32),
+        prompt_n=jnp.asarray(len(ids), jnp.int32),
+        max_new_tokens=max_new, draft_mode="zero")
+    out, length = np.asarray(out)[0], int(length[0])
+    assert length == g_len
+    assert list(out[:length]) == list(g_out[:g_len])
+    assert int(cache.offset[0]) == g_off
+    steps, emitted = (int(x) for x in np.asarray(stats))
+    assert emitted == length
+    # worst case == greedy forward count: token 0 may legitimately be the
+    # greedy continuation at a step (then it's accepted — that's correct
+    # verification, not a bound violation), so steps >= emitted - slack,
+    # and never MORE steps than tokens (each step emits >= 1)
+    assert steps <= emitted
+    assert steps >= emitted - 2
+
+
+def test_spec_adversarial_engine_transcripts_exact(setup):
+    """The engine built with spec_draft_mode="zero" serves the exact
+    greedy-engine transcripts (worst-case acceptance never corrupts
+    output) and its spec_stats() show ~zero accepted drafts."""
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+
+    cfg, params = setup
+    tokz = LiveTokenizer(ByteTokenizer(), cfg)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(12, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+
+    def drive(**kw):
+        eng = LiveInferEngine(params, tokz, cfg, kv_capacity=2048, **kw)
+        eng.load_video(feats)
+        eng.input_query_stream("what is happening?", video_time=0.0)
+        hist = []
+        for i in range(12):
+            eng.input_video_stream(i / cfg.frame_fps)
+            while True:
+                q, r = eng()
+                if r is None:
+                    break
+                hist.append((q, r))
+        hist.extend(eng.flush())
+        return eng, hist
+
+    g_eng, g_hist = drive(spec_decode=False)
+    z_eng, z_hist = drive(spec_decode=True, spec_draft_mode="zero")
+    assert z_hist == g_hist
+    steps, emitted = (int(x) for x in z_eng.spec_stats())
+    assert steps > 0 and emitted > 0
+    # acceptance ~0: tokens/step stays within noise of 1.0 (a zero draft
+    # can occasionally match the true greedy token)
+    assert emitted / steps < 1.35

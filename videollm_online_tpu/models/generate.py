@@ -165,6 +165,7 @@ def ngram_speculative_generate(
     prompt_n: Optional[jax.Array] = None,
     max_new_tokens: Optional[int] = None,
     draft_len: int = SPEC_DRAFT,
+    draft_mode: str = "ngram",
     attn_impl=None,
 ) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array, jax.Array, jax.Array]:
     """`greedy_generate` with n-gram speculative verification.
@@ -176,7 +177,14 @@ def ngram_speculative_generate(
     ring (prompt ids are appended here when given, then every emitted
     token). Returns (output_ids (1, max_new), length (1,), cache, hist,
     hist_count, stats) where stats = [decode_steps, emitted_tokens]
-    (acceptance rate = emitted/steps - 1)."""
+    (acceptance rate = emitted/steps - 1).
+
+    ``draft_mode="zero"`` replaces the n-gram lookup with constant-zero
+    drafts — the exact program the no-match fallback runs — pinning the
+    ADVERSARIAL worst case: acceptance ~0, one emitted token per
+    verify forward (same forward count as plain greedy, each over K+1
+    positions instead of 1). Used to bound the headline from below."""
+    assert draft_mode in ("ngram", "zero"), draft_mode
     max_new = max_new_tokens or cfg.max_response_tokens
     K = draft_len
     lora = params.get("lora")
@@ -209,7 +217,10 @@ def ngram_speculative_generate(
     def body(state):
         i, out, cache, _, hist, hcount, steps = state
         prev = out[0, i - 1]
-        drafts = _ngram_draft(hist, hcount, K)           # (K,)
+        if draft_mode == "zero":
+            drafts = jnp.zeros((K,), jnp.int32)
+        else:
+            drafts = _ngram_draft(hist, hcount, K)       # (K,)
         toks = jnp.concatenate([prev[None], drafts])     # (K+1,)
         emb = llama.embed_tokens(params["llama"], toks[None], cfg.llama)
         off0 = cache.offset

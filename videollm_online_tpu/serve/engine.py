@@ -132,6 +132,7 @@ class LiveInferEngine:
         kv_quant: Optional[str] = None,
         spec_decode: bool = False,
         spec_draft: Optional[int] = None,
+        spec_draft_mode: str = "ngram",
     ):
         # spec_decode: n-gram (prompt-lookup) speculative decoding inside
         # every response generation (models/generate.py). Decode is
@@ -153,6 +154,11 @@ class LiveInferEngine:
             spec_draft
             or max(1, min((cfg or tokenizer.cfg).max_response_tokens - 1,
                           19)))
+        # "zero": constant-zero drafts (the no-match fallback program) —
+        # the measured adversarial lower bound; acceptance ~0, transcripts
+        # still greedy-exact (verification). Bench/diagnostic knob.
+        assert spec_draft_mode in ("ngram", "zero"), spec_draft_mode
+        self.spec_draft_mode = spec_draft_mode
         # kv_quant="int8": per-token-per-head symmetric int8 KV cache —
         # halves KV memory (2x stream capacity at a given kv_capacity) and
         # halves attention's KV HBM reads; the Pallas decode kernels
@@ -496,6 +502,7 @@ class LiveInferEngine:
                         params, cfg, cache, embeds, sel_n[None], hist,
                         hcount, prompt_ids=rolled[0], prompt_n=sel_n,
                         max_new_tokens=max_new, draft_len=self.spec_draft,
+                        draft_mode=self.spec_draft_mode,
                         attn_impl=self.attn_impl))
                 stats = stats + st
             else:

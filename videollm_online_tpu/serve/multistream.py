@@ -71,6 +71,7 @@ class MultiStreamEngine:
                  kv_quant: Optional[str] = None,
                  spec_decode: bool = False,
                  spec_draft: Optional[int] = None,
+                 spec_draft_mode: str = "ngram",
                  paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None,
                  prefix_cache: bool = True,
@@ -121,6 +122,10 @@ class MultiStreamEngine:
             or max(1, min((max_new_tokens
                            or (cfg or tokenizer.cfg).max_response_tokens)
                           - 1, 19)))
+        # "zero": constant-zero drafts — the adversarial acceptance~0
+        # lower bound (see LiveInferEngine / models/generate.py)
+        assert spec_draft_mode in ("ngram", "zero"), spec_draft_mode
+        self.spec_draft_mode = spec_draft_mode
         # prefix_cache (paged mode): automatic prefix caching for stream
         # admission — the FIRST system-prompt prefill snapshots its KV
         # pages as a refcounted template (full pages aliased, the partial
@@ -407,9 +412,12 @@ class MultiStreamEngine:
             def rbody(st):
                 (i_n, out, cache, done, lengths, hist, hcount, stats) = st
                 prev = out[rows, jnp.clip(i_n - 1, 0, max_new - 1)]
-                drafts = jax.vmap(
-                    lambda h, c: gen_mod._ngram_draft(h, c, Ksp))(
-                    hist, hcount)                        # (N, Ksp)
+                if self.spec_draft_mode == "zero":
+                    drafts = jnp.zeros((N, Ksp), jnp.int32)
+                else:
+                    drafts = jax.vmap(
+                        lambda h, c: gen_mod._ngram_draft(h, c, Ksp))(
+                        hist, hcount)                    # (N, Ksp)
                 toks = jnp.concatenate([prev[:, None], drafts], axis=1)
                 emb = llama.embed_tokens(params["llama"], toks, cfg.llama)
                 off0 = cache.offset
@@ -960,20 +968,62 @@ class MultiStreamEngine:
             "inflight_dispatches": len(self._pipe),
         }
         if self.paged:
+            tmpl_refs = self._template_refs()
+            # unique physical pages with >=1 ref (stream table entries AND
+            # template holds both count; an aliased page counts ONCE here)
+            in_use = int(np.count_nonzero(self._page_refs[1:]))
+            # pages whose ONLY remaining refs are template refs — after a
+            # donor window-compacts (or closes) past the prefix these are
+            # FULL prefix pages, not just the copied tail
+            prefix_owned = int(np.count_nonzero(
+                (self._page_refs > 0)
+                & (self._page_refs == tmpl_refs)))
+            # conservation invariants of the refcounted allocator — these
+            # hold at every quiescent point, so stats() doubles as a leak
+            # detector (VERDICT r3 #1). (1) a page is free XOR referenced;
+            # (2) every ref is owned by exactly one table entry or one
+            # template entry.
+            free_set = set(self._free_pages)
+            assert len(free_set) == len(self._free_pages), \
+                "free list holds duplicates"
+            assert in_use + len(free_set) == self.pool_pages - 1, (
+                f"page leak: {in_use} in use + {len(free_set)} free "
+                f"!= {self.pool_pages - 1} pool pages")
+            for p in free_set:
+                assert self._page_refs[p] == 0, \
+                    f"page {p} free with refcount {self._page_refs[p]}"
+            assert int(self._page_refs.sum()) == \
+                sum(self._pages_alloc) + int(tmpl_refs.sum()), (
+                "dangling refs: refcounts != table entries + template refs")
             out["pool"] = {
                 "pages_total": self.pool_pages - 1,
                 "pages_free": len(self._free_pages),
+                "pages_in_use": in_use,
                 "pages_per_stream": list(self._pages_alloc),
                 "page_size": self.page_size,
                 "prefix_entries": len(self._prefix_entries),
                 "prefix_hits": self._prefix_hits,
-                # template-OWNED pages (the copied partial tails; aliased
-                # full pages live in stream tables and are not re-counted)
+                # pages the prefix templates are the SOLE owner of (copied
+                # tails always; full prefix pages once no stream aliases
+                # them anymore) — clearing the cache returns exactly these
+                "prefix_owned_pages": prefix_owned,
+                # template-OWNED tail pages (the copied partial tails)
                 "prefix_tail_pages": sum(
                     1 for e in self._prefix_entries.values()
                     if e["tail_page"] is not None),
             }
         return out
+
+    def _template_refs(self) -> np.ndarray:
+        """Per-physical-page count of refs held by prefix templates (each
+        entry holds one ref per full page + one on its copied tail)."""
+        refs = np.zeros((self.pool_pages,), np.int32)
+        for e in self._prefix_entries.values():
+            for p in e["pages"]:
+                refs[p] += 1
+            if e["tail_page"] is not None:
+                refs[e["tail_page"]] += 1
+        return refs
 
     def _gather_chunks(self, bursts, active, K: int) -> jax.Array:
         """(N, K, fnt, D) chunk operand. Fast path: every active burst is a
@@ -1097,11 +1147,13 @@ class MultiStreamEngine:
         if not over and not self._ensure_pages(idxs, budget) \
                 and self._prefix_entries:
             # pool pressure evicts the prefix cache before failing a
-            # dispatch: the only page this can actually free is the
-            # template-owned tail page, which no stream table references
-            # (streams hold private COPIES), so in-flight dispatches are
-            # unaffected. Live-stream pages the templates alias merely
-            # drop a refcount.
+            # dispatch: this frees every page whose SOLE remaining owner
+            # is a template — always the copied tail page (streams hold
+            # private copies of it), and also full prefix pages once no
+            # stream aliases them anymore (the donor compacted or closed
+            # past them). No stream table references any freed page, so
+            # in-flight dispatches are unaffected; pages still aliased by
+            # a live stream merely drop a refcount.
             self._clear_prefix_cache()
         return not over and self._ensure_pages(idxs, budget)
 
