@@ -323,3 +323,45 @@ def test_spec_adversarial_engine_transcripts_exact(setup):
     # acceptance ~0: tokens/step stays within noise of 1.0 (a zero draft
     # can occasionally match the true greedy token)
     assert emitted / steps < 1.35
+
+
+def test_spec_auto_backoff_switches_to_greedy(setup):
+    """maybe_backoff_spec: under adversarial acceptance the engine backs
+    off to plain greedy (spec_decode False), keeps serving, and the full
+    transcript (before + after the switch) still equals the pure-greedy
+    engine's."""
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+
+    cfg, params = setup
+    tokz = LiveTokenizer(ByteTokenizer(), cfg)
+    rng = np.random.RandomState(4)
+    feats = rng.randn(16, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+
+    def drive(eng, backoff_at=None):
+        eng.load_video(feats)
+        eng.input_query_stream("what is happening?", video_time=0.0)
+        eng.input_query_stream("and now?", video_time=4.0)
+        hist = []
+        for i in range(16):
+            eng.input_video_stream(i / cfg.frame_fps)
+            while True:
+                q, r = eng()
+                if r is None:
+                    break
+                hist.append((q, r))
+            if backoff_at is not None and i == backoff_at:
+                backed, drained = eng.maybe_backoff_spec(min_steps=1)
+                hist.extend(drained)
+                assert backed and not eng.spec_decode
+        hist.extend(eng.flush())
+        return hist
+
+    g_hist = drive(LiveInferEngine(params, tokz, cfg, kv_capacity=4096,
+                                   spec_decode=False))
+    z_eng = LiveInferEngine(params, tokz, cfg, kv_capacity=4096,
+                            spec_decode=True, spec_draft_mode="zero")
+    z_hist = drive(z_eng, backoff_at=8)
+    assert z_hist == g_hist
+    # below-threshold acceptance never re-arms; a second call is a no-op
+    assert z_eng.maybe_backoff_spec() == (False, [])

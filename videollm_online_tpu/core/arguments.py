@@ -72,6 +72,13 @@ class LiveTrainingArguments:
     # zero2offload.json): Adam moments persist in pinned host memory
     # between steps (train/offload.py)
     offload_optimizer: bool = False
+    # QLoRA-analog: freeze the base decoder as weight-only int8 ("int8")
+    # so flagship-scale (8B) LoRA+connector training fits ONE chip —
+    # the base is frozen anyway (reference trains only LoRA adapters +
+    # connector, modeling_live.py:203-213), so quantizing it changes
+    # forward numerics within int8 noise and gradients (LoRA/connector
+    # only) flow through the dequantizing matmuls unchanged.
+    quantize_base: str = ""       # '' | 'int8'
     # proxy model for smoke runs ('': use llm_pretrained weights)
     model_size: str = ""
 

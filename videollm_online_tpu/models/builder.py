@@ -77,4 +77,17 @@ def build_model_and_tokenizer(
         if os.path.isdir(os.path.join(adapter_path, "adapter")):
             adapter_path = os.path.join(adapter_path, "adapter")
         params = checkpoints.load_adapter_into(params, adapter_path)
+    if getattr(args, "quantize_base", ""):
+        # QLoRA-analog (--quantize_base int8): the frozen base decoder is
+        # stored weight-only int8; LoRA + connector stay bf16 trainable.
+        # Gradients flow THROUGH the dequantizing matmuls (w is constant),
+        # so training semantics match bf16-base within quant noise
+        # (tests/test_train_e2e.py loss-trace parity).
+        assert args.quantize_base == "int8", args.quantize_base
+        assert cfg.lora is not None, (
+            "--quantize_base needs LoRA: an int8 base cannot take "
+            "gradient updates itself")
+        from . import quant
+        params["llama"] = quant.quantize_llama_params(params["llama"],
+                                                      bits=8)
     return params, tok, cfg

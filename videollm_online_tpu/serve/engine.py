@@ -956,6 +956,27 @@ class LiveInferEngine:
             self._enc_connector = jax.device_put(params["connector"],
                                                  self.encoder_device)
 
+    def maybe_backoff_spec(self, *, min_tokens_per_step: float = 1.15,
+                           min_steps: int = 64):
+        """Spec-decode auto-backoff (adversarial-text guard, VERDICT r3
+        #3): when measured acceptance is so low that drafting is a net
+        loss (8B adversarial row runs ~3% below plain greedy at
+        acceptance 1.00 tokens/step, BENCH_NOTES r4), switch this engine
+        to plain greedy decoding. One device readback + one program
+        rebuild (persistent compile cache makes repeat switches instant);
+        in-flight dispatches are resolved first via flush(). Call OFF the
+        hot path — e.g. every few responses. Returns (backed_off,
+        responses_drained_by_flush)."""
+        if not self.spec_decode:
+            return False, []
+        steps, emitted = (int(x) for x in self.spec_stats())
+        if steps < min_steps or emitted >= min_tokens_per_step * steps:
+            return False, []
+        drained = self.flush()
+        self.spec_decode = False
+        self._build_jitted()
+        return True, drained
+
     def set_threshold(self, threshold: float):
         """Adjust the streaming gate threshold at runtime without a
         recompile (the Gradio slider, reference demo/app.py:54-57) — the

@@ -924,6 +924,26 @@ class MultiStreamEngine:
         path). Mean accepted drafts per step = tokens/steps - 1."""
         return np.asarray(self._sstats)
 
+    def maybe_backoff_spec(self, *, min_tokens_per_step: float = 1.15,
+                           min_steps: int = 64):
+        """Spec-decode auto-backoff for the batched engine (see
+        LiveInferEngine.maybe_backoff_spec): when measured acceptance
+        across all streams makes drafting a net loss, resolve in-flight
+        ticks and rebuild the programs greedy. Responses drained by the
+        resolution stay queued in _resp_out and surface on later step()
+        calls. Returns True when it backed off."""
+        if not self.spec_decode:
+            return False
+        steps, emitted = (int(x) for x in self.spec_stats())
+        if steps < min_steps or emitted >= min_tokens_per_step * steps:
+            return False
+        while self._pipe:
+            self._pipe_resolve()
+        self._carry = None
+        self.spec_decode = False
+        self._build_jitted()
+        return True
+
     def swap_params(self, params):
         """Hot-swap model weights for ALL streams without recompiling
         (params are traced arguments of every tick program; see
