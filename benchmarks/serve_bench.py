@@ -63,6 +63,12 @@ def main():
                    help="N > 0: every N ticks close the longest-running "
                         "dialogue and admit a fresh one in its slot "
                         "(continuous batching under churn)")
+    p.add_argument("--ms_latency", action="store_true",
+                   help="realtime-paced per-stream response-latency SLO "
+                        "stage (VERDICT r3 #6): frames arrive one per "
+                        "stream per iteration; reports arrival->surface "
+                        "p50/p99 from stats()['response_latency'] under "
+                        "steady / churn / backpressure at --streams")
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
@@ -261,6 +267,114 @@ def main():
                     emitted / max(steps, 1), 2)
                 progress(f"ms spec_decode: {steps} verify steps -> "
                          f"{emitted} tokens")
+
+      # 3b. per-stream response-latency SLO, realtime arrival pacing
+      # (VERDICT r3 #6): one frame per stream per iteration — each
+      # response's latency is measured from ITS trigger's input_frames/
+      # input_query call to the tick that surfaces it (the engine-side
+      # histogram, stats()["response_latency"]). Back-to-back arrivals
+      # are an UPPER bound on queue wait vs true 2 fps pacing: the queue
+      # never drains between arrivals unless the engine is faster than
+      # the feed. BASELINE target: <100 ms p50.
+      if args.ms_latency:
+        import gc
+        from videollm_online_tpu.serve.multistream import MultiStreamEngine
+
+        # free the throughput stage's engine (its KV pool would otherwise
+        # stay resident next to each latency engine's — at 16 x 8B two
+        # pools do not fit the chip)
+        if "ms" in dir():
+            del ms
+        gc.collect()
+
+        def latency_run(scenario: str):
+            lat_cfg = cfg.replace(gate_logit_bias=30.0,
+                                  max_response_tokens=20)
+            per_stream = max(args.frames, 32)
+            lat_ctx = 256 * (
+                (per_stream * (fnt + 4) + 128
+                 + (per_stream // 8 + 2) * (128 + 20)) // 256 + 1)
+            eng = MultiStreamEngine(
+                params, tok, lat_cfg, num_streams=args.streams,
+                kv_capacity=lat_ctx,
+                fused=args.ms_mode != "unfused",
+                pipelined=args.ms_mode == "pipelined",
+                kv_quant=args.kv_quant or None,
+                spec_decode=args.ms_spec_decode,
+                paged=False if args.ring else args.paged,
+                prefix_cache=not args.ms_no_prefix_cache,
+                max_lag_frames=4 if scenario == "backpressure" else None)
+            feats = np.asarray(jax.random.normal(
+                jax.random.PRNGKey(7),
+                (per_stream, fnt, cfg.vision_hidden_size), jnp.float32))
+            fps_grid = lat_cfg.frame_fps
+
+            def drive():
+                eng.reset()
+                responses = 0
+                closes = 0
+                # arrival burst size: backpressure feeds 8 frames/step
+                # against a 4-frame lag cap so the queues outrun
+                # consumption and _shed_lag sheds
+                burst = 8 if scenario == "backpressure" else 1
+                for f in range(0, per_stream, burst):
+                    for i in range(args.streams):
+                        eng.input_frames(i, f / fps_grid,
+                                         feats[f:f + burst])
+                        # a query every 8 frames, burst-independent: fire
+                        # when its video time falls inside this arrival
+                        for qt in range(4, per_stream, 8):
+                            if f <= qt < f + burst:
+                                eng.input_query(i, "What am I doing?",
+                                                qt / fps_grid)
+                    results = eng.step()
+                    responses += sum(r is not None for r in results)
+                    if scenario == "churn" and f % 16 == 8:
+                        i = closes % args.streams
+                        eng.close_stream(i)
+                        closes += 1
+                        eng.input_frames(i, f / fps_grid,
+                                         feats[:1])
+                ticks = 0
+                while eng.pending() and ticks < per_stream * 8:
+                    results = eng.step()
+                    responses += sum(r is not None for r in results)
+                    ticks += 1
+                return responses
+
+            progress(f"latency[{scenario}]: compiling + warmup...")
+            drive()    # compile/warmup (drive's reset() clears the hist)
+            progress(f"latency[{scenario}]: measuring...")
+            responses = drive()
+            lat = eng.stats()["response_latency"]
+            pooled = lat.get("response", {})
+            per_s = {k: v for k, v in lat.items() if k != "response"}
+            dropped = sum(s["dropped_frames"]
+                          for s in eng.stats()["streams"])
+            progress(
+                f"latency[{scenario}] @ {args.streams} streams: "
+                f"{responses} responses, p50 "
+                f"{pooled.get('p50_ms', float('nan')):.1f} ms, p99 "
+                f"{pooled.get('p99_ms', float('nan')):.1f} ms"
+                + (f", {dropped} frames shed" if dropped else ""))
+            report[f"ms_latency_{scenario}"] = {
+                "streams": args.streams,
+                "responses": responses,
+                "dropped_frames": dropped,
+                "pooled": pooled,
+                "per_stream_p99_ms_max": max(
+                    (v["p99_ms"] for v in per_s.values()), default=None),
+                "per_stream_p50_ms_max": max(
+                    (v["p50_ms"] for v in per_s.values()), default=None),
+            }
+            # the engine's jitted programs capture self (a cycle), so its
+            # KV pool outlives the call until a full GC — collect NOW or
+            # the next scenario's pool OOMs next to this one at 16 x 8B
+            del eng
+            gc.collect()
+
+        for scenario in ("steady", "churn", "backpressure"):
+            latency_run(scenario)
 
       # 4. encoder throughput (random SigLIP-large weights)
       if args.encoder_batch > 0 and not args.only_ms:

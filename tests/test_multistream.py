@@ -503,6 +503,50 @@ def test_max_lag_backpressure_and_stats():
     assert int(ms._host_offsets[0]) >= 8 * cfg.frame_num_tokens
 
 
+def test_response_latency_stats():
+    """stats()['response_latency'] (VERDICT r3 #6): every surfaced
+    response records one arrival->surface sample — pooled under
+    'response' and per stream under 'response_s<i>' — and close_stream
+    drops the closed dialogue's pending arrival keys without breaking
+    later recording."""
+    cfg, tok, params = _setup(threshold=0.725, seed=3)
+    rng = np.random.RandomState(7)
+    feats = rng.randn(16, cfg.frame_num_tokens,
+                      cfg.vision_hidden_size).astype(np.float32)
+    ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                           kv_capacity=2048, chunk_frames=4)
+    for i in range(2):
+        ms.input_frames(i, 0.0, feats)
+        ms.input_query(i, "what now?", 2.0)
+        ms.input_query(i, "and then?", 6.0)
+    for _ in range(64):
+        ms.step()
+        if not ms.pending():
+            break
+    ms.flush()
+    total = sum(len(t) for t in ms.transcripts)
+    assert total >= 4  # both queries per stream answered at minimum
+    lat = ms.stats()["response_latency"]
+    assert lat["response"]["count"] == total
+    assert lat["response"]["p50_ms"] > 0
+    per_stream = [k for k in lat if k.startswith("response_s")]
+    assert set(per_stream) == {"response_s0", "response_s1"}
+    assert sum(lat[k]["count"] for k in per_stream) == total
+
+    # close + re-admit: arrival map cleared, recording still works
+    before = lat["response"]["count"]
+    ms.close_stream(0)
+    assert not ms._arrival[0]
+    ms.input_frames(0, 0.0, feats[:8])
+    ms.input_query(0, "again?", 1.0)
+    for _ in range(64):
+        ms.step()
+        if not ms.pending():
+            break
+    lat2 = ms.stats()["response_latency"]
+    assert lat2["response"]["count"] > before
+
+
 def test_fork_pool_exhaustion_leaves_allocator_clean():
     """When no free page exists for the tail copy, fork_stream must raise
     BEFORE touching refcounts/tables — a partial fork would leak the

@@ -365,3 +365,48 @@ def test_spec_auto_backoff_switches_to_greedy(setup):
     assert z_hist == g_hist
     # below-threshold acceptance never re-arms; a second call is a no-op
     assert z_eng.maybe_backoff_spec() == (False, [])
+
+
+def test_spec_auto_backoff_multistream(setup):
+    """MultiStreamEngine.maybe_backoff_spec: adversarial acceptance across
+    the batch switches the whole engine to greedy programs mid-run
+    (in-flight pipelined ticks resolved first); per-stream transcripts
+    before + after the switch equal the pure-greedy engine's."""
+    from videollm_online_tpu.serve.multistream import MultiStreamEngine
+
+    cfg, params = setup
+    tokz = LiveTokenizer(ByteTokenizer(), cfg)
+    rng = np.random.RandomState(11)
+    N, n_frames = 2, 16
+    feats = [rng.randn(n_frames, cfg.frame_num_tokens,
+                       cfg.vision_hidden_size).astype(np.float32)
+             for _ in range(N)]
+
+    def drive(ms, backoff_at=None):
+        for i in range(N):
+            ms.input_frames(i, 0.0, feats[i])
+            ms.input_query(i, "what now?", video_time=1.5)
+            ms.input_query(i, "and then?", video_time=5.0)
+        for t in range(64):
+            ms.step()
+            if backoff_at is not None and t == backoff_at:
+                assert ms.maybe_backoff_spec(min_steps=1)
+                assert not ms.spec_decode
+            if not ms.pending():
+                break
+        ms.flush()
+        return ms.transcripts
+
+    g = drive(MultiStreamEngine(params, tokz, cfg, num_streams=N,
+                                kv_capacity=4096, chunk_frames=4,
+                                pipelined=True, pipeline_depth=2,
+                                spec_decode=False))
+    z_ms = MultiStreamEngine(params, tokz, cfg, num_streams=N,
+                             kv_capacity=4096, chunk_frames=4,
+                             pipelined=True, pipeline_depth=2,
+                             spec_decode=True, spec_draft_mode="zero")
+    z = drive(z_ms, backoff_at=3)
+    assert z == g
+    assert sum(len(t) for t in g) >= 4
+    # a second call is a no-op once backed off
+    assert z_ms.maybe_backoff_spec() is False

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import time as _time
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -870,6 +871,15 @@ class MultiStreamEngine:
         from ..utils.profiling import LatencyHistogram
         self._tick_hist = LatencyHistogram(max_samples=4096)
         self._dropped = [0] * self.N
+        # response-latency SLO accounting (VERDICT r3 #6): wall-clock from
+        # the ARRIVAL of a response's trigger (the gate-firing frame's
+        # input_frames call / the query's input_query call) to the moment
+        # the response surfaces in _resp_out. Keys: ("f", video_time) /
+        # ("q", video_time) — the same floats the response bookkeeping
+        # reads back, so lookups are exact. Host-only; zero device work.
+        self._resp_hist = LatencyHistogram(max_samples=4096)
+        self._arrival: List[collections.OrderedDict] = [
+            collections.OrderedDict() for _ in range(self.N)]
 
     # ------------------------------------------------------------------ I/O
     def input_frames(self, stream: int, video_time: float,
@@ -911,12 +921,32 @@ class MultiStreamEngine:
         # lazy refs (engine._FrameRef): enqueueing dispatches nothing, and
         # a whole-chunk burst assembles into the (N, K, fnt, D) operand
         # with ONE stack + ONE vmapped slice in step()
+        now = _time.perf_counter()
         for i in range(T):
-            self.frame_queues[stream].append(
-                (video_time + i / self.frame_fps, _FrameRef(embeds, i)))
+            t = video_time + i / self.frame_fps
+            self.frame_queues[stream].append((t, _FrameRef(embeds, i)))
+            self._note_arrival(stream, ("f", t), now)
 
     def input_query(self, stream: int, query: str, video_time: float):
         self.query_queues[stream].append((video_time, query))
+        self._note_arrival(stream, ("q", video_time),
+                           _time.perf_counter())
+
+    def _note_arrival(self, i: int, key, now: float):
+        d = self._arrival[i]
+        d[key] = now
+        if len(d) > 8192:          # bound host memory on long streams
+            d.popitem(last=False)
+
+    def _record_response_latency(self, i: int, kind: str, t):
+        """One response surfaced for stream ``i``, triggered by the frame
+        ("f") or query ("q") at video_time ``t``: record arrival->surface
+        wall latency (the per-stream SLO number, BASELINE <100 ms p50)."""
+        arr = self._arrival[i].pop((kind, t), None)
+        if arr is not None:
+            dt = _time.perf_counter() - arr
+            self._resp_hist.add("response", dt)
+            self._resp_hist.add(f"response_s{i}", dt)
 
     def spec_stats(self) -> np.ndarray:
         """[verify_steps, emitted_tokens] accumulated across all streams'
@@ -985,6 +1015,10 @@ class MultiStreamEngine:
                 "dropped_frames": self._dropped[i],
             } for i in range(self.N)],
             "ticks": self._tick_hist.summary().get("tick", {}),
+            # arrival->surface wall latency per response: "response" =
+            # all streams pooled, "response_s<i>" = per stream (the
+            # p50/p99 SLO numbers; see _record_response_latency)
+            "response_latency": self._resp_hist.summary(),
             "inflight_dispatches": len(self._pipe),
         }
         if self.paged:
@@ -1313,7 +1347,6 @@ class MultiStreamEngine:
         device-resident prepend before tick i's readback is consumed.
         Returns per-stream (query, response) or None; responses beyond one
         per stream per call surface on subsequent calls (FIFO)."""
-        import time as _time
         self._shed_lag()
         t0 = _time.perf_counter()
         try:
@@ -1533,6 +1566,8 @@ class MultiStreamEngine:
                 q_str = (f"(Video Time = {t}s) User: {respond_query[i][1]}"
                          if respond_query[i] is not None else None)
                 results[i] = (q_str, f"(Video Time = {t}s) Assistant:{resp}")
+                self._record_response_latency(
+                    i, "q" if respond_query[i] is not None else "f", t)
                 self.transcripts[i].append(results[i])
         return results
 
@@ -1716,9 +1751,11 @@ class MultiStreamEngine:
                     qt, qs = coll["queries"][i]
                     entry = (f"(Video Time = {qt}s) User: {qs}",
                              f"(Video Time = {qt}s) Assistant:{resp}")
+                    self._record_response_latency(i, "q", qt)
                 else:
                     t = times[int(ofidx[r])]
                     entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
+                    self._record_response_latency(i, "f", t)
                 self._resp_out[i].append(entry)
                 self.transcripts[i].append(entry)
             if coll["queries"][i] is not None and answered \
@@ -1775,6 +1812,7 @@ class MultiStreamEngine:
             t = [tt for tt, _ in coll["bursts"][i]][consumed - 1]
             resp = self.tokenizer.decode(toks, skip_special_tokens=True)
             entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
+            self._record_response_latency(i, "f", t)
             self._resp_out[i].append(entry)
             self.transcripts[i].append(entry)
 
@@ -1950,6 +1988,7 @@ class MultiStreamEngine:
         self._hist = self._hist.at[i].set(0)
         self._hcount = self._hcount.at[i].set(0)
         self._dropped[i] = 0
+        self._arrival[i].clear()
         return out
 
     def _unref_page(self, p: int):
