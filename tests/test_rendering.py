@@ -21,13 +21,19 @@ def test_compose_frame_dimensions_and_content():
     assert board.std() > 0  # text drawn
 
 
-def test_render_fallback_npy(tmp_path):
+def test_render_fallback_avi(tmp_path, monkeypatch):
+    """Without ffmpeg the renderer muxes a REAL playable MJPEG AVI via the
+    first-party container writer (data/avi.py) instead of skipping."""
+    from videollm_online_tpu.data import avi, video_io
+    monkeypatch.setattr(video_io, "_FFMPEG", "")
     frames = np.zeros((4, 3, 64, 64), np.uint8)
     conv = [{"role": "assistant", "content": "hello", "time": 0.5}]
     out = render_conversation_video(frames, conv,
                                     str(tmp_path / "demo.mp4"), fps=2.0)
-    assert out.endswith("_frames.npy")
-    video = np.load(out)
+    assert out.endswith(".avi")
+    data = avi.read_avi(out)
+    assert data.fps == 2.0
+    video = data.frames
     assert video.shape[0] == 4
     # message becomes visible from frame 1 (t=0.5): boards differ
     board0, board2 = video[0][:, 64:], video[2][:, 64:]
@@ -55,9 +61,34 @@ def test_formant_tts_backend():
     assert len(short) < len(w1)              # duration tracks text
 
 
-def test_render_with_tts_muxes_audio(tmp_path):
-    """End-to-end render with the TTS track: the output video must contain
-    an audio stream (reference render.py:141-156 muxes speech)."""
+def test_render_with_tts_muxes_audio_avi(tmp_path, monkeypatch):
+    """End-to-end render + TTS mux through the first-party AVI path: the
+    output container carries an audible audio stream placed at the
+    assistant message's timestamp (reference render.py:141-156)."""
+    from videollm_online_tpu.data import avi, video_io
+    from videollm_online_tpu.serve import rendering
+    from videollm_online_tpu.serve.tts import default_tts_fn
+
+    monkeypatch.setattr(video_io, "_FFMPEG", "")
+    video = np.zeros((8, 3, 64, 64), np.uint8)
+    conv = [
+        {"role": "user", "content": "what now?", "time": 0.5},
+        {"role": "assistant", "content": "You wash the pan.", "time": 1.0},
+    ]
+    out = rendering.render_conversation_video(video, conv,
+                                              str(tmp_path / "demo.avi"),
+                                              fps=2, tts_fn=default_tts_fn())
+    data = avi.read_avi(out, with_audio=True)
+    assert data.frames.shape[0] == 8
+    assert data.audio is not None and data.sample_rate == 16000
+    # speech starts at t=1.0s: silence before, energy after
+    sr = data.sample_rate
+    assert np.abs(data.audio[: int(0.9 * sr)]).max() == 0
+    assert np.abs(data.audio[sr: 2 * sr]).max() > 1000
+
+
+def test_render_with_tts_muxes_audio_ffmpeg(tmp_path):
+    """Same mux through a real ffmpeg when one exists (deployment path)."""
     import shutil
     import subprocess
     from videollm_online_tpu.serve import rendering

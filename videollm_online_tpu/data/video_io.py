@@ -10,6 +10,12 @@ On a TPU-VM this stays host-CPU work: we keep the ffmpeg-subprocess design
 over a pipe; pre-extracted feature files (.npy/.npz/.pt) bypass decode
 entirely, which is how training/eval always runs (features are pre-extracted,
 data/utils.py:86-104).
+
+Without an ffmpeg binary, ``.avi`` containers (rawvideo DIB / MJPEG) decode
+through the first-party RIFF parser (data/avi.py) with the same fps-resample
+and scale/pad semantics applied host-side (fps grid: ffmpeg's ``fps=``
+filter picks, for each output timestamp k/fps_out, the nearest input frame;
+scale/pad: frameproc's aspect-preserving resize + center zero-pad).
 """
 
 from __future__ import annotations
@@ -41,10 +47,52 @@ def _scale_pad_filter(resolution: int) -> str:
             f"pad={r}:{r}:(ow-iw)/2:(oh-ih)/2:color=black")
 
 
+def resample_frame_indices(n_frames: int, src_fps: float,
+                           dst_fps: float) -> np.ndarray:
+    """Frame indices selected by an fps resample (ffmpeg ``fps=dst`` filter
+    semantics, round=near): output slot k at time k/dst takes the input
+    frame nearest to that timestamp; duration is preserved (dup/drop)."""
+    if src_fps <= 0 or dst_fps <= 0 or n_frames == 0:
+        return np.arange(n_frames)
+    n_out = max(1, int(np.ceil(n_frames * dst_fps / src_fps - 1e-9)))
+    idx = np.floor(np.arange(n_out) * src_fps / dst_fps + 0.5).astype(np.int64)
+    return np.clip(idx, 0, n_frames - 1)
+
+
+def _avi_read_preprocessed(path: str, fps: Optional[float],
+                           resolution: Optional[int]) -> np.ndarray:
+    """First-party .avi decode + fps resample + scale/pad -> (T,3,R,R)."""
+    from . import avi
+    from .frameproc import preprocess_frames
+    data = avi.read_avi(path)
+    frames = data.frames  # (T, H, W, 3) RGB
+    if fps is not None and data.fps:
+        frames = frames[resample_frame_indices(len(frames), data.fps, fps)]
+    return preprocess_frames(np.ascontiguousarray(frames), resolution or 384)
+
+
 def ffmpeg_once(src_path: str, dst_path: str, *, fps: Optional[float] = None,
                 resolution: Optional[int] = None) -> None:
-    """Resample + resize a video file once (reference data/utils.py:51-66)."""
+    """Resample + resize a video file once (reference data/utils.py:51-66).
+
+    Falls back to the first-party AVI pipeline (decode -> fps resample ->
+    scale/pad -> rawvideo AVI) when no ffmpeg binary exists and both ends
+    are .avi."""
     ffmpeg = find_ffmpeg()
+    if not ffmpeg and src_path.endswith(".avi") and dst_path.endswith(".avi"):
+        from . import avi
+        src = avi.read_avi(src_path)
+        frames = src.frames
+        out_fps = fps if fps is not None else (src.fps or 1.0)
+        if fps is not None and src.fps:
+            frames = frames[resample_frame_indices(len(frames), src.fps, fps)]
+        if resolution is not None:
+            from .frameproc import preprocess_frames
+            chw = preprocess_frames(np.ascontiguousarray(frames), resolution)
+            frames = np.ascontiguousarray(chw.transpose(0, 2, 3, 1))
+        os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+        avi.write_avi(dst_path, frames, out_fps)
+        return
     if not ffmpeg:
         raise RuntimeError("no ffmpeg binary found (set FFMPEG_BINARY)")
     os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
@@ -67,9 +115,12 @@ def read_video_frames(path: str, *, fps: Optional[float] = None,
         return load_array(path)
     ffmpeg = find_ffmpeg()
     if not ffmpeg:
+        if path.endswith(".avi"):
+            return _avi_read_preprocessed(path, fps, resolution)
         raise RuntimeError(
             f"cannot decode {path}: no ffmpeg binary in this environment; "
-            "provide pre-extracted features (.npy/.pt) instead")
+            "provide pre-extracted features (.npy/.pt) or a rawvideo/MJPEG "
+            ".avi (first-party reader, data/avi.py) instead")
     res = resolution or 384
     filters = []
     if fps is not None:
@@ -113,6 +164,9 @@ def save_array(path: str, arr: np.ndarray) -> None:
 def probe_duration(path: str) -> float:
     ffprobe = shutil.which("ffprobe")
     if not ffprobe:
+        if path.endswith(".avi"):
+            from . import avi
+            return avi.probe_avi(path)["duration"]
         raise RuntimeError("ffprobe not available")
     out = subprocess.run(
         [ffprobe, "-v", "error", "-print_format", "json", "-show_format", path],

@@ -9,8 +9,9 @@ render.py:141-156). This environment has PIL but no ChatTTS/moviepy:
 the TTS backend is pluggable (``tts_fn(text) -> (sr, waveform)`` or None;
 ``serve.tts.default_tts_fn()`` provides a dependency-free offline formant
 synthesizer with deterministic speaker seeds) and muxing shells out to
-ffmpeg when present; otherwise the composited frames are written as .npy
-for inspection."""
+ffmpeg when present; otherwise (or for .avi outputs) the first-party AVI
+muxer (data/avi.py) writes a playable MJPEG video with the TTS track as
+interleaved PCM audio — no external binary needed."""
 
 from __future__ import annotations
 
@@ -95,10 +96,18 @@ def render_conversation_video(
 
     from ..data.video_io import find_ffmpeg
     ffmpeg = find_ffmpeg()
-    if ffmpeg is None:
-        fallback = os.path.splitext(out_path)[0] + "_frames.npy"
-        np.save(fallback, video)
-        return fallback
+    if ffmpeg is None or out_path.endswith(".avi"):
+        # First-party mux: MJPEG AVI with the TTS track as interleaved PCM
+        # (data/avi.py) — a real playable container, no external binary.
+        avi_path = os.path.splitext(out_path)[0] + ".avi"
+        audio = None
+        if tts_fn is not None:
+            sr, track = _compose_tts_track(conversation, tts_fn,
+                                           video.shape[0] / fps)
+            audio = (sr, track)
+        from ..data.avi import write_avi
+        write_avi(avi_path, video, fps, codec="mjpeg", audio=audio)
+        return avi_path
 
     Tn, H, W, _ = video.shape
     cmd = [ffmpeg, "-y", "-loglevel", "error",
@@ -114,11 +123,8 @@ def render_conversation_video(
     return out_path
 
 
-def _render_tts_track(conversation, tts_fn, duration_s: float,
-                      wav_path: str) -> str:
+def _compose_tts_track(conversation, tts_fn, duration_s: float):
     """Place each assistant message's synthesized speech at its timestamp."""
-    import wave
-
     sr = None
     clips = []
     for m in conversation:
@@ -133,7 +139,14 @@ def _render_tts_track(conversation, tts_fn, duration_s: float,
         start = int(t * sr)
         end = min(start + len(wav), len(track))
         track[start:end] += wav[: end - start]
-    track = np.clip(track, -1, 1)
+    return sr, np.clip(track, -1, 1)
+
+
+def _render_tts_track(conversation, tts_fn, duration_s: float,
+                      wav_path: str) -> str:
+    import wave
+
+    sr, track = _compose_tts_track(conversation, tts_fn, duration_s)
     with wave.open(wav_path, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)
