@@ -158,40 +158,51 @@ def main():
         return jax.tree.map(
             lambda p: p + (s * 1e-30).astype(p.dtype), tree)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fwd_probe(trainable, frozen, batch):
+    # match the real step's LoRA-dropout semantics (train_step folds a
+    # per-step rbg key; probes pin step 0) so "optimizer+update" is not
+    # polluted by the dropout masks' cost
+    drng = jax.random.fold_in(jax.random.key(0x10ad, impl="rbg"), 0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def fwd_probe(trainable, frozen, batch, dropout: bool):
         loss = step_mod.loss_fn(trainable, frozen, cfg, batch,
-                                attn_impl=auto_attention)
+                                attn_impl=auto_attention,
+                                dropout_rng=drng if dropout else None)
         return _fold(trainable, loss), loss
 
     import optax
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def grad_probe(trainable, frozen, batch):
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def grad_probe(trainable, frozen, batch, dropout: bool):
         loss, grads = jax.value_and_grad(step_mod.loss_fn)(
-            trainable, frozen, cfg, batch, attn_impl=auto_attention)
+            trainable, frozen, cfg, batch, attn_impl=auto_attention,
+            dropout_rng=drng if dropout else None)
         return _fold(trainable, optax.global_norm(grads)), loss
 
-    def timed(fn, trainable, label):
-        trainable, loss = fn(trainable, frozen, batch)  # compile
+    def timed(fn, trainable, label, *extra):
+        trainable, loss = fn(trainable, frozen, batch, *extra)  # compile
         _ = float(loss)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            trainable, loss = fn(trainable, frozen, batch)
+            trainable, loss = fn(trainable, frozen, batch, *extra)
         _ = float(loss)
         dt = (time.perf_counter() - t0) / args.steps
         print(f"{label}: {dt*1e3:.1f} ms")
         return dt
 
     trainable = jax.tree.map(jnp.copy, state.trainable)
-    t_fwd = timed(fwd_probe, trainable, "forward only (remat fwd)")
+    t_fwd = timed(fwd_probe, trainable, "forward only (remat fwd)", True)
     trainable = jax.tree.map(jnp.copy, state.trainable)
-    t_grad = timed(grad_probe, trainable, "forward+backward")
+    t_grad = timed(grad_probe, trainable, "forward+backward", True)
+    trainable = jax.tree.map(jnp.copy, state.trainable)
+    t_grad_nd = timed(grad_probe, trainable, "forward+backward (no LoRA "
+                      "dropout)", False)
     t_full = dt
     t_bwd = max(t_grad - t_fwd, 0) * 1e3
     t_opt = max(t_full - t_grad, 0) * 1e3
     print(f"attribution: fwd {t_fwd*1e3:.1f} | bwd {t_bwd:.1f} | "
-          f"optimizer+update {t_opt:.1f} ms (full {t_full*1e3:.1f})")
+          f"optimizer+update {t_opt:.1f} ms (full {t_full*1e3:.1f}; "
+          f"LoRA-dropout cost {max(t_grad - t_grad_nd, 0)*1e3:.1f})")
     # model-FLOPs-equivalent rate: 6*N*T for fwd+bwd over frozen+trainable
     n_all = n_tr + n_fr
     tf = 6 * n_all * tokens / t_grad / 1e12

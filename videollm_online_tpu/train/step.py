@@ -61,8 +61,15 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
 
     LoRA dropout (reference PEFT lora_dropout=0.05, modeling_live.py:207) is
     driven by a per-step rng folded from the step counter — deterministic
-    resume, no rng state to checkpoint."""
-    step_rng = jax.random.fold_in(jax.random.PRNGKey(0x10ad), state.step)
+    resume, no rng state to checkpoint. The key uses the ``rbg`` PRNG: mask
+    BITS come from the TPU's hardware RngBitGenerator instead of threefry
+    (key split/fold stays threefry — cheap, keys are tiny). Measured on the
+    chip: 112 dropout sites over (1, 4096, 2048) cost 296.7 ms as threefry
+    vs 13.3 ms as rbg; in the 1B train step that was 113.9 ms (22%) of
+    515.9 — dropout bits were the single largest non-matmul cost
+    (benchmarks/train_bench.py --attrib, round 4)."""
+    step_rng = jax.random.fold_in(
+        jax.random.key(0x10ad, impl="rbg"), state.step)
 
     def grads_of(b, rng):
         return jax.value_and_grad(loss_fn)(state.trainable, frozen, cfg, b,
