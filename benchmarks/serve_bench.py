@@ -72,6 +72,10 @@ def main():
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
+    p.add_argument("--stream_tokens", type=int, default=0,
+                   help="S > 0: token-streaming TTFT stage — single-stream "
+                        "engine with stream_tokens=S; reports "
+                        "arrival->FIRST-text p50 vs the full-response time")
     args = p.parse_args()
 
     import jax
@@ -162,6 +166,78 @@ def main():
         report["response_latency_p50_ms"] = summary[
             "response_full_budget"]["p50_ms"]
         print(json.dumps(report, indent=1), flush=True)
+
+      # 2b. token-streaming TTFT: the engine with stream_tokens=S surfaces
+      # first text after S decoded tokens instead of the full budget —
+      # arrival->first-delta vs arrival->complete-response, wall clock
+      # (blocking engine; same gate-held + query-every-8 workload as
+      # bench.py engine mode)
+      if args.stream_tokens > 0:
+        from videollm_online_tpu.serve.engine import LiveInferEngine
+
+        S = args.stream_tokens
+        budget = max(S, (100 // S) * S)
+        st_cfg = cfg.replace(gate_logit_bias=30.0,
+                             max_response_tokens=budget)
+        clock = {"t0": 0.0, "first": None}
+        st_hist = LatencyHistogram()
+
+        def on_delta(_delta, done):
+            now = time.perf_counter()
+            if clock["first"] is None:
+                clock["first"] = now
+                st_hist.add("ttft", now - clock["t0"])
+            if done:
+                st_hist.add("response_complete_streamed", now - clock["t0"])
+                clock["first"] = None
+
+        n_fr = max(args.frames, 33)
+        # size the ring to the workload (frames + one response turn per
+        # 8 frames at the full budget)
+        st_ctx = 256 * ((n_fr * (fnt + 4) + 128
+                         + (n_fr // 8 + 2) * (128 + budget)) // 256 + 1)
+        eng = LiveInferEngine(params, tok, st_cfg,
+                              kv_capacity=max(args.ctx, st_ctx),
+                              stream_tokens=S, on_delta=on_delta)
+        st_feats = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(3), (n_fr, fnt, cfg.vision_hidden_size),
+            jnp.float32))
+        progress("compiling token-streaming engine...")
+
+        def drive_stream():
+            eng.reset()
+            eng.load_video(st_feats)
+            n_resp = 0
+            for i in range(n_fr):
+                if i % 8 == 0:
+                    eng.input_query_stream("What am I doing?",
+                                           i / cfg.frame_fps)
+                clock["t0"] = time.perf_counter()
+                eng.input_video_stream(i / cfg.frame_fps)
+                while True:
+                    q, r = eng()
+                    if r is None:
+                        break
+                    n_resp += 1
+            return n_resp
+
+        drive_stream()  # compile/warmup
+        st_hist.samples.clear()
+        progress("measuring TTFT...")
+        n_resp = drive_stream()
+        summary = st_hist.summary()
+        report["stream_tokens"] = S
+        report["ttft_p50_ms"] = summary["ttft"]["p50_ms"]
+        report["ttft_p99_ms"] = summary["ttft"]["p99_ms"]
+        report["streamed_response_p50_ms"] = summary[
+            "response_complete_streamed"]["p50_ms"]
+        progress(f"token streaming S={S}: {n_resp} responses, first text "
+                 f"p50 {summary['ttft']['p50_ms']:.1f} ms vs complete "
+                 f"response p50 "
+                 f"{summary['response_complete_streamed']['p50_ms']:.1f} ms")
+        del eng
+        import gc
+        gc.collect()
 
       # 3. multistream aggregate throughput: N concurrent dialogues through
       # the public MultiStreamEngine (batched chunked ingest + batched

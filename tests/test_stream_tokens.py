@@ -1,0 +1,118 @@
+"""Token-streaming responses (engine stream_tokens=S): segmented respond
+dispatches surface partial text via on_delta while the final transcript
+stays byte-identical to the unsegmented engine.
+
+The reference's fast_greedy_generate returns only complete responses
+(reference models/modeling_live.py:173-182; the Gradio app waits for the
+whole turn, demo/app.py:85-91) — token streaming is framework-added
+serving capability; correctness bar = greedy continuation equality."""
+
+import numpy as np
+import jax
+import pytest
+
+from videollm_online_tpu.core.config import tiny_live_config
+from videollm_online_tpu.models import live
+from videollm_online_tpu.serve.engine import LiveInferEngine
+from videollm_online_tpu.tokenizer.live_tokenizer import LiveTokenizer
+from videollm_online_tpu.tokenizer.tiny import ByteTokenizer
+
+
+def _setup(max_resp=12):
+    cfg = tiny_live_config()
+    tok = LiveTokenizer(ByteTokenizer(), cfg)
+    cfg = tok.cfg.replace(max_response_tokens=max_resp)
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    feats = np.random.RandomState(0).randn(
+        8, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+    return cfg, tok, params, feats
+
+
+def _drive(engine, feats, queries=((1.0, "what am I doing?"),)):
+    engine.load_video(feats)
+    for t, q in queries:
+        engine.input_query_stream(q, t)
+    events = []
+    for i in range(feats.shape[0]):
+        engine.input_video_stream(i / engine.frame_fps)
+        while True:
+            q, r = engine()
+            if r is None:
+                break
+            events.append((q, r))
+    events += [e for e in engine.flush() if e[1] is not None]
+    return events
+
+
+@pytest.mark.parametrize("s", [3, 4])
+def test_stream_tokens_transcript_equality(s):
+    """Segmented (stream_tokens=S) transcripts == unsegmented blocking
+    engine, and the concatenated deltas reproduce each response's text."""
+    cfg, tok, params, feats = _setup(max_resp=12)
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=1024)
+    ev_ref = _drive(ref, feats)
+    assert ev_ref, "oracle produced no responses; test is vacuous"
+
+    deltas = []
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          stream_tokens=s,
+                          on_delta=lambda d, done: deltas.append((d, done)))
+    ev_stream = _drive(eng, feats)
+    assert ev_stream == ev_ref
+
+    # deltas partition per response on done=True; each response's text is
+    # the concatenation of its deltas
+    texts, cur = [], ""
+    for d, done in deltas:
+        cur += d
+        if done:
+            texts.append(cur)
+            cur = ""
+    assert cur == ""
+    resp_texts = [r.split("Assistant:", 1)[1] for _, r in ev_stream]
+    assert texts == resp_texts
+
+
+def test_stream_tokens_budget_exact():
+    """A budget-limited response (tiny random weights rarely emit EOS in
+    12 tokens) decodes in exactly budget/S dispatches and matches the
+    unsegmented token budget."""
+    cfg, tok, params, feats = _setup(max_resp=12)
+    calls = []
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          stream_tokens=4,
+                          on_delta=lambda d, done: calls.append(done))
+    ev = _drive(eng, feats)
+    assert ev
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=1024)
+    assert _drive(ref, feats) == ev
+    # every response closed exactly once
+    assert sum(1 for d in calls if d) == len(ev)
+
+
+def test_stream_tokens_incompatible_modes():
+    cfg, tok, params, _ = _setup()
+    for kw in ({"pipelined": True}, {"speculative": True},
+               {"spec_decode": True}):
+        with pytest.raises(AssertionError):
+            LiveInferEngine(params, tok, cfg, kv_capacity=512,
+                            stream_tokens=4, **kw)
+    with pytest.raises(AssertionError):  # budget not divisible by S
+        LiveInferEngine(params, tok,
+                        cfg.replace(max_response_tokens=10),
+                        kv_capacity=512, stream_tokens=4)
+
+
+def test_stream_tokens_unfused_path():
+    """stream_tokens composes with the two-dispatch (fused_respond=False)
+    path: _respond_at segments identically."""
+    cfg, tok, params, feats = _setup(max_resp=8)
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          fused_respond=False)
+    ev_ref = _drive(ref, feats)
+    deltas = []
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          fused_respond=False, stream_tokens=2,
+                          on_delta=lambda d, done: deltas.append((d, done)))
+    assert _drive(eng, feats) == ev_ref
+    assert any(done for _, done in deltas)

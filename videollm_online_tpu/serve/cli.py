@@ -107,20 +107,32 @@ def build_engine(args):
     from ..serve.engine import LiveInferEngine
 
     params, tok, cfg, vision_params = build_model(args)
+    stream_tokens = getattr(args, "stream_tokens", 0) or None
+    on_delta = None
+    if stream_tokens:
+        # live token streaming to the terminal (first text after S tokens)
+        if cfg.max_response_tokens % stream_tokens:
+            cfg = cfg.replace(max_response_tokens=(
+                cfg.max_response_tokens // stream_tokens) * stream_tokens)
+
+        def on_delta(delta, done):
+            print(delta, end="\n" if done else "", flush=True)
     return LiveInferEngine(params, tok, cfg, vision_params=vision_params,
                            kv_capacity=args.kv_capacity,
                            speculative=getattr(args, "speculative", False),
                            pipelined=getattr(args, "pipelined", False),
                            kv_quant=getattr(args, "kv_quant", "") or None,
                            spec_decode=getattr(args, "spec_decode", False),
-                           spec_draft=getattr(args, "spec_draft", None) or None
+                           spec_draft=getattr(args, "spec_draft", None) or None,
+                           stream_tokens=stream_tokens, on_delta=on_delta,
                            ), cfg
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--video", required=True,
-                   help="mp4 (needs ffmpeg) or .npy/.pt features")
+                   help="mp4 (needs ffmpeg), .avi (rawvideo/MJPEG, first-party"
+                        " reader), or .npy/.pt features")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--vision_checkpoint", default="")
     p.add_argument("--tokenizer", default="",
@@ -163,6 +175,11 @@ def main(argv=None):
                         "dispatches before the previous packed readback, "
                         "chained through the device-resident prepend (the "
                         "throughput serving mode; docs/SERVING.md)")
+    p.add_argument("--stream_tokens", type=int, default=0,
+                   help="S > 0: token-streaming responses — partial text "
+                        "prints after every S decoded tokens (the latency "
+                        "serving mode; excludes --pipelined/--speculative/"
+                        "--spec_decode)")
     args = p.parse_args(argv)
 
     engine, cfg = build_engine(args)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import collections
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -133,6 +133,8 @@ class LiveInferEngine:
         spec_decode: bool = False,
         spec_draft: Optional[int] = None,
         spec_draft_mode: str = "ngram",
+        stream_tokens: Optional[int] = None,
+        on_delta: Optional[Callable[[str, bool], None]] = None,
     ):
         # spec_decode: n-gram (prompt-lookup) speculative decoding inside
         # every response generation (models/generate.py). Decode is
@@ -216,6 +218,36 @@ class LiveInferEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.cfg = cfg or tokenizer.cfg
+        # stream_tokens=S: TOKEN-STREAMING responses — each respond
+        # dispatch decodes at most S tokens; the host surfaces the partial
+        # text via ``on_delta(delta, done)`` and chains continuation
+        # dispatches (1-token prompt = the last sampled token, which the
+        # unsegmented engine would feed exactly the same way) until EOS or
+        # the response budget. Segment concatenation is greedy-EXACT equal
+        # to the unsegmented response (tests/test_stream_tokens.py): greedy
+        # continuation from the same KV state is the same sequence. This is
+        # the latency configuration — first text surfaces after S tokens
+        # instead of the full budget (the reference streams nothing: its
+        # fast_greedy_generate returns only the complete response,
+        # modeling_live.py:173-182). Blocking modes only: the pipelined /
+        # realtime-speculative drivers speculate across dispatch boundaries
+        # and would reorder partial surfacing; spec_decode's draft length
+        # is sized to the whole budget. Opt-in.
+        self.stream_tokens = stream_tokens
+        self.on_delta = on_delta
+        if stream_tokens is not None:
+            assert stream_tokens > 0, stream_tokens
+            assert not (pipelined or speculative or spec_decode), (
+                "stream_tokens is a blocking-engine mode (no pipelined/"
+                "speculative/spec_decode)")
+            assert self.cfg.max_response_tokens % stream_tokens == 0, (
+                "max_response_tokens must be a multiple of stream_tokens "
+                "for exact budget equality with the unsegmented engine")
+            # multi_respond fuses whole response turns INSIDE one ingest
+            # dispatch (nothing can surface mid-dispatch) — force the
+            # single-respond fused path instead
+            self.multi_respond = False
+        self.max_new = stream_tokens or self.cfg.max_response_tokens
         # infinite-stream serving: attention restricted to the last
         # ``stream_window`` tokens and the ring COMPACTED (newest window
         # shifted to the front, pos_base advanced) when full — streams of
@@ -483,7 +515,7 @@ class LiveInferEngine:
                                 next_id, cache.offset[0]])
             return cache, packed
 
-        max_new = cfg.max_response_tokens
+        max_new = self.max_new  # = stream_tokens when token-streaming
         spec_on = self.spec_decode
 
         def _generate(params, cache, sel_ids, sel_n, hist, hcount, stats):
@@ -1319,7 +1351,7 @@ class LiveInferEngine:
                         query = None
                     else:
                         video_time, query = self.query_queue.popleft()
-                    return self._finish_response(out, video_time, query)
+                    return self._finish_or_continue(out, video_time, query)
                 if consumed:
                     self._pending_prepend = [next_id] if iv is not None else []
                 text = self._dev_text(cont_ids)
@@ -1423,7 +1455,7 @@ class LiveInferEngine:
         prepend mirror. query_src: None = pop answered queries from
         query_queue (blocking driver); else the (t, query) the pipelined
         driver popped eagerly at dispatch. Returns frames consumed."""
-        max_new = self.cfg.max_response_tokens
+        max_new = self.max_new
         iv = self.cfg.frame_token_interval_id
         consumed = int(packed[0])
         n_resp = int(packed[1])
@@ -1583,6 +1615,62 @@ class LiveInferEngine:
         q_str = (f"(Video Time = {video_time}s) User: {query}"
                  if query else None)
         return q_str, f"(Video Time = {video_time}s) Assistant:{response}"
+
+    def _finish_or_continue(self, out_ids, video_time, query):
+        """Token-streaming continuation: when stream_tokens=S is set, a
+        respond dispatch stopped after S tokens — surface the partial text
+        via on_delta and keep decoding in S-token dispatches (the 1-token
+        continuation prompt is the last sampled token, exactly what the
+        unsegmented engine feeds) until EOS or the response budget.
+        Concatenated output == the unsegmented greedy response, so the
+        returned transcript is byte-identical either way."""
+        out = np.asarray(out_ids, np.int32)
+        S = self.stream_tokens
+        if not S:
+            return self._finish_response(out, video_time, query)
+        budget = self.cfg.max_response_tokens
+        parts = [out]
+        total = int(out.size)
+        surfaced = ""
+
+        def emit(done: bool):
+            # called once per decoded segment — even when the delta text is
+            # empty (ids a tokenizer maps to nothing still mark progress;
+            # TTFT = the first call)
+            nonlocal surfaced
+            text = self.tokenizer.decode(
+                np.concatenate(parts) if len(parts) > 1 else parts[0],
+                skip_special_tokens=True)
+            delta = text[len(surfaced):]
+            surfaced = text
+            if self.on_delta is not None:
+                self.on_delta(delta, done)
+
+        while (total < budget and out.size == S
+               and int(out[-1]) != self.cfg.eos_token_id):
+            emit(False)
+            out = self._respond_continue(int(out[-1]))
+            parts.append(out)
+            total += int(out.size)
+        emit(True)
+        full = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        return self._finish_response(full, video_time, query)
+
+    def _respond_continue(self, last_tok: int) -> np.ndarray:
+        """One S-token continuation dispatch. Capacity for the WHOLE
+        response budget was reserved by the first segment's guard, so no
+        compaction/guard runs here. The 1-token prompt rides the prompt
+        LRU (repeat tokens upload once)."""
+        bucket = PROMPT_BUCKETS[0]
+        (packed, self.cache, self._hist, self._hcount,
+         self._sstats) = self._respond(
+            self.params, self.cache, self._dev_prompt([last_tok], bucket),
+            self._dev(("nv", 1), lambda: jnp.asarray([1], jnp.int32)),
+            jnp.asarray([self._host_offset], jnp.int32),
+            self._hist, self._hcount, self._sstats)
+        packed = np.asarray(packed)
+        self._host_offset = int(packed[1])
+        return packed[2:2 + int(packed[0])].astype(np.int32)
 
     # -- reference _call_for_streaming (demo/inference.py:54-82)
     def _stream_until_trigger(self):
@@ -1765,4 +1853,4 @@ class LiveInferEngine:
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
         out = packed[2:2 + int(packed[0])]
-        return self._finish_response(out, video_time, query)
+        return self._finish_or_continue(out, video_time, query)
