@@ -173,3 +173,52 @@ def test_multi_session_web_serving():
         assert st["sessions"] == {"b": 1, "c": 0}
     finally:
         httpd.shutdown()
+
+
+def test_web_demo_token_streaming():
+    """Streaming WebDemo: step() is async (worker thread), a partial
+    assistant bubble grows across polls, and the final transcript equals a
+    blocking non-streaming engine's (greedy continuation equality)."""
+    import time as _time
+
+    from videollm_online_tpu.serve.web import WebDemo
+
+    cfg, tok, params = _setup()
+    # blocking oracle
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=4096)
+    ref_demo = WebDemo(ref, cfg.frame_fps)
+    ref_demo.load({"frames": 8, "seed": 3})
+    ref_demo.query("what is happening?", 0.6)
+    for i in range(8):
+        ref_demo.step(i / cfg.frame_fps)
+    ref_msgs = [(m["role"], m["text"]) for m in ref_demo.messages]
+    assert any(r == "assistant" for r, _ in ref_msgs)
+
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=4096,
+                          stream_tokens=4)
+    demo = WebDemo(eng, cfg.frame_fps)
+    assert demo._streaming and eng.on_delta is not None
+    demo.load({"frames": 8, "seed": 3})
+    demo.query("what is happening?", 0.6)
+    saw_partial = False
+    partial_lens = []
+    deadline = _time.time() + 120
+    i = 0
+    while _time.time() < deadline:
+        msgs = demo.step(min(i, 7) / cfg.frame_fps)
+        i += 1
+        for m in msgs:
+            if m.get("partial"):
+                saw_partial = True
+                partial_lens.append(len(m["text"]))
+        done = (len(msgs) == len(ref_msgs)
+                and not any(m.get("partial") for m in msgs)
+                and demo._pending is None)
+        if done and i > 8:
+            break
+        _time.sleep(0.02)
+    got = [(m["role"], m["text"]) for m in demo.snapshot()]
+    assert got == ref_msgs
+    assert saw_partial, "no partial bubble ever surfaced"
+    # the bubble grew (or at least repeated) across polls
+    assert len(partial_lens) >= 1

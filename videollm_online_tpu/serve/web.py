@@ -71,6 +71,15 @@ function render(msgs) {
     div.textContent = (m.role === "user" ? "You: " : "Assistant: ") + m.text;
     chat.appendChild(div);
   }
+  // refresh the last bubble too: token-streaming grows it between polls
+  const nodes = chat.children;
+  for (let i = Math.max(0, msgs.length - 2); i < msgs.length; i++) {
+    const m = msgs[i];
+    nodes[i].className = m.role;
+    nodes[i].textContent =
+      (m.role === "user" ? "You: " : "Assistant: ") + m.text +
+      (m.partial ? " ▌" : "");
+  }
   chat.scrollTop = chat.scrollHeight;
 }
 async function step() {
@@ -99,7 +108,15 @@ document.getElementById("send").onclick = async () => {
 
 
 class WebDemo:
-    """Engine-facing state shared by the handler threads."""
+    """Engine-facing state shared by the handler threads.
+
+    With a token-streaming engine (``stream_tokens=S``, serve/engine.py) the
+    demo turns ASYNC: ``step`` hands the tick to a worker thread and returns
+    the current transcript immediately, while the engine's ``on_delta``
+    grows a ``{"partial": true}`` assistant bubble that successive polls
+    watch fill in — the UI shows text as it decodes instead of waiting for
+    the full response (the reference's gradio app waits for whole turns,
+    demo/app.py:85-91)."""
 
     def __init__(self, engine, frame_fps: float):
         self.engine = engine
@@ -107,6 +124,27 @@ class WebDemo:
         self.lock = threading.Lock()
         self.messages: List[Dict[str, Any]] = []
         self._loaded = False
+        self._msg_lock = threading.Lock()
+        self._partial_msg: Optional[Dict[str, Any]] = None
+        self._streaming = bool(getattr(engine, "stream_tokens", None))
+        if self._streaming and getattr(engine, "on_delta", None) is None:
+            engine.on_delta = self._on_delta
+        self._pending: Optional[tuple] = None
+        self._tick = threading.Condition()
+        self._worker: Optional[threading.Thread] = None
+        self._worker_error: Optional[BaseException] = None
+
+    def _on_delta(self, delta: str, done: bool) -> None:
+        with self._msg_lock:
+            if self._partial_msg is None:
+                self._partial_msg = {"role": "assistant", "text": "",
+                                     "partial": True}
+                self.messages.append(self._partial_msg)
+            self._partial_msg["text"] += delta
+            if done:
+                self._partial_msg["partial"] = False
+                # keep the ref: _drain replaces the raw text with the
+                # formatted transcript and inserts the user line before it
 
     # each op mirrors one gradio callback in serve/app.py
     def load(self, spec: Dict[str, Any]) -> None:
@@ -121,8 +159,16 @@ class WebDemo:
                 feats = rng.randn(n, cfg.frame_num_tokens,
                                   cfg.vision_hidden_size).astype(np.float32)
                 self.engine.load_video(feats)
-            self.messages = []
+            with self._msg_lock:
+                self.messages = []
+                self._partial_msg = None
             self._loaded = True
+
+    def snapshot(self) -> List[Dict[str, Any]]:
+        """Race-free copy for the JSON handlers (the streaming worker may
+        be growing a partial bubble concurrently)."""
+        with self._msg_lock:
+            return [dict(m) for m in self.messages]
 
     def query(self, text: str, video_time: float) -> None:
         with self.lock:
@@ -130,22 +176,70 @@ class WebDemo:
 
     def step(self, video_time: float,
              threshold: Optional[float] = None) -> List[Dict[str, Any]]:
+        if self._streaming:
+            # async: queue the newest tick for the worker, snapshot now
+            if self._worker_error is not None:
+                err, self._worker_error = self._worker_error, None
+                raise err
+            with self._tick:
+                self._pending = (video_time, threshold)
+                if self._worker is None or not self._worker.is_alive():
+                    self._worker = threading.Thread(target=self._worker_loop,
+                                                    daemon=True)
+                    self._worker.start()
+                self._tick.notify()
+            with self._msg_lock:
+                return [dict(m) for m in self.messages]
         with self.lock:
             if not self._loaded:
                 return self.messages
-            if threshold is not None:
-                self.engine.set_threshold(threshold)
-            self.engine.input_video_stream(video_time)
-            while True:
-                q, r = self.engine()
-                if r is None:
-                    break
-                if q:
-                    self.messages.append({"role": "user", "text": q,
-                                          "time": video_time})
-                self.messages.append({"role": "assistant", "text": r,
-                                      "time": video_time})
+            self._advance(video_time, threshold)
             return self.messages
+
+    def _advance(self, video_time: float, threshold: Optional[float]) -> None:
+        """Run one stream tick + drain (caller holds self.lock)."""
+        if threshold is not None:
+            self.engine.set_threshold(threshold)
+        self.engine.input_video_stream(video_time)
+        while True:
+            q, r = self.engine()
+            if r is None:
+                break
+            with self._msg_lock:
+                part, self._partial_msg = self._partial_msg, None
+                if part is not None:
+                    # streamed: the bubble already holds the raw text —
+                    # swap in the formatted transcript, user line before it
+                    if q:
+                        self.messages.insert(
+                            self.messages.index(part),
+                            {"role": "user", "text": q, "time": video_time})
+                    part["text"] = r
+                    part["time"] = video_time
+                    part.pop("partial", None)
+                else:
+                    if q:
+                        self.messages.append({"role": "user", "text": q,
+                                              "time": video_time})
+                    self.messages.append({"role": "assistant", "text": r,
+                                          "time": video_time})
+
+    def _worker_loop(self) -> None:
+        while True:
+            with self._tick:
+                if self._pending is None and not self._tick.wait(timeout=10):
+                    return  # idle; the next step() starts a fresh worker
+                if self._pending is None:
+                    continue
+                video_time, threshold = self._pending
+                self._pending = None
+            try:
+                with self.lock:
+                    if self._loaded:
+                        self._advance(video_time, threshold)
+            except BaseException as e:  # surfaced by the next step()
+                self._worker_error = e
+                return
 
 
 def make_handler(demo: WebDemo, poll_ms: int):
@@ -181,7 +275,7 @@ def make_handler(demo: WebDemo, poll_ms: int):
                 msgs = demo.step(t, float(thr[0]) if thr else None)
                 self._json({"messages": msgs, "time": t})
             elif url.path == "/history":
-                self._json({"messages": demo.messages})
+                self._json({"messages": demo.snapshot()})
             else:
                 self._json({"error": "not found"}, 404)
 
