@@ -117,9 +117,85 @@ def test_ffmpeg_once_avi_fallback(tmp_path, monkeypatch):
 
 
 def test_mp4_without_ffmpeg_still_clear_error(tmp_path, monkeypatch):
+    """The reference corpus is H.264 mp4 (reference data/utils.py:106-113);
+    without a decoder binary the failure must name the codec problem and
+    the three fixes (FFMPEG_BINARY, transcode-to-mjpeg-avi, features)."""
     monkeypatch.setattr(video_io, "_FFMPEG", "")
-    with pytest.raises(RuntimeError, match="\\.avi"):
+    with pytest.raises(RuntimeError, match="H.264") as ei:
         video_io.read_video_frames("/tmp/nope.mp4")
+    msg = str(ei.value)
+    assert "FFMPEG_BINARY" in msg and "-c:v mjpeg" in msg and ".npy" in msg
+    # content sniffing: a misnamed ISO-BMFF file gets the same diagnosis
+    p = tmp_path / "disguised.bin"
+    p.write_bytes(bytes.fromhex("00000018") + b"ftypisom" + bytes(8))
+    with pytest.raises(RuntimeError, match="ISO-BMFF"):
+        video_io.read_video_frames(str(p))
+    # ffmpeg_once on an mp4 source fails with the same actionable message
+    with pytest.raises(RuntimeError, match="transcode"):
+        video_io.ffmpeg_once("/tmp/nope.mp4", str(tmp_path / "out.avi"))
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment from a baseline JPEG (AVI1 table-less form)."""
+    out, pos = bytearray(jpeg[:2]), 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        import struct
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker != 0xC4:
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def test_tableless_avi1_mjpeg_decodes(tmp_path, monkeypatch):
+    """Some MJPEG encoders emit table-less AVI1 JPEGs (no DHT segment —
+    decoder is expected to use the JPEG Annex-K defaults, which is also what
+    ffmpeg's MJPEG decoder splices). The reader must splice the default
+    tables explicitly (older libjpegs hard-fail on a missing DHT). Since
+    PIL/libjpeg *encodes* with those same default tables,
+    stripped-then-spliced must decode bit-identically."""
+    frames = _gradient_frames(3, 48, 64)
+    p = str(tmp_path / "t.avi")
+    orig_enc = avi._encode_mjpeg
+    monkeypatch.setattr(avi, "_encode_mjpeg",
+                        lambda f, q: _strip_dht(orig_enc(f, q)))
+    avi.write_avi(p, frames, fps=2.0, codec="mjpeg")
+    # fixture sanity: the payloads really are table-less, and the splice
+    # reinstates a DHT segment before SOS
+    stripped = avi._encode_mjpeg(frames[0], 90)
+    assert b"\xff\xc4" not in stripped.rsplit(b"\xff\xda", 1)[0]
+    spliced = avi._splice_dht(stripped, avi._default_dht_segment())
+    assert b"\xff\xc4" in spliced.rsplit(b"\xff\xda", 1)[0]
+    data = avi.read_avi(p)
+    reference = avi._decode_jpeg(orig_enc(frames[0], 90))
+    np.testing.assert_array_equal(data.frames[0], reference)
+    assert data.frames.shape == frames.shape
+
+
+def test_dht_splice_no_op_when_tables_present():
+    """Frames that already carry DHT must pass through byte-identical."""
+    jpeg = avi._encode_mjpeg(_gradient_frames(1, 32, 32)[0], 90)
+    assert avi._splice_dht(jpeg, avi._default_dht_segment()) == jpeg
+    assert avi._splice_dht(b"\x00bogus", avi._default_dht_segment()) == b"\x00bogus"
+
+
+def test_extradata_dht_preferred():
+    """AVI1 files may ship their Huffman tables in strf extradata (bytes
+    past the 40-byte BITMAPINFOHEADER); the reader forwards those tables
+    to table-less frames, framing bare payloads as a DHT segment."""
+    import struct
+    dht = avi._default_dht_segment()
+    # marker-framed extradata passes through verbatim
+    assert avi._extradata_dht(b"\x00" * 40 + dht) == dht
+    # bare (marker-less) extradata is framed into a DHT segment
+    framed = avi._extradata_dht(b"\x00" * 40 + dht[4:])
+    assert framed == b"\xff\xc4" + struct.pack(">H", len(dht[4:]) + 2) + dht[4:]
+    # no extradata -> None (reader falls back to the Annex-K defaults)
+    assert avi._extradata_dht(b"\x00" * 40) is None
 
 
 def test_avi_feeds_engine_pixel_path(tmp_path, monkeypatch):

@@ -92,8 +92,7 @@ def test_stream_tokens_budget_exact():
 
 def test_stream_tokens_incompatible_modes():
     cfg, tok, params, _ = _setup()
-    for kw in ({"pipelined": True}, {"speculative": True},
-               {"spec_decode": True}):
+    for kw in ({"pipelined": True}, {"speculative": True}):
         with pytest.raises(AssertionError):
             LiveInferEngine(params, tok, cfg, kv_capacity=512,
                             stream_tokens=4, **kw)
@@ -101,6 +100,70 @@ def test_stream_tokens_incompatible_modes():
         LiveInferEngine(params, tok,
                         cfg.replace(max_response_tokens=10),
                         kv_capacity=512, stream_tokens=4)
+
+
+@pytest.mark.parametrize("s", [3, 4])
+def test_stream_tokens_composes_with_spec_decode(s):
+    """stream_tokens + spec_decode (VERDICT r4 #2): each segment dispatch
+    runs the n-gram verify loop with budget S; transcripts stay byte-equal
+    to the plain unsegmented greedy engine (spec decode is greedy-exact by
+    verification, segmentation is greedy-exact by continuation) and the
+    deltas reproduce each response's text."""
+    cfg, tok, params, feats = _setup(max_resp=12)
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=1024)
+    ev_ref = _drive(ref, feats)
+    assert ev_ref, "oracle produced no responses; test is vacuous"
+
+    deltas = []
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          spec_decode=True, stream_tokens=s,
+                          on_delta=lambda d, done: deltas.append((d, done)))
+    ev = _drive(eng, feats)
+    assert ev == ev_ref
+    steps, emitted = (int(x) for x in eng.spec_stats())
+    assert steps > 0 and emitted > 0
+    texts, cur = [], ""
+    for d, done in deltas:
+        cur += d
+        if done:
+            texts.append(cur)
+            cur = ""
+    assert cur == ""
+    assert texts == [r.split("Assistant:", 1)[1] for _, r in ev]
+
+
+def test_stream_tokens_spec_draft_sized_to_segment():
+    """Default draft length follows the segment budget (K = S-1), and an
+    explicit spec_draft is respected."""
+    cfg, tok, params, _ = _setup(max_resp=12)
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=512,
+                          spec_decode=True, stream_tokens=4)
+    assert eng.spec_draft == 3
+    eng2 = LiveInferEngine(params, tok, cfg, kv_capacity=512,
+                           spec_decode=True, stream_tokens=4, spec_draft=7)
+    assert eng2.spec_draft == 7
+    eng3 = LiveInferEngine(params, tok, cfg, kv_capacity=512,
+                           spec_decode=True, stream_tokens=1)
+    assert eng3.spec_draft == 1
+
+
+def test_stream_tokens_spec_backoff_mid_stream():
+    """maybe_backoff_spec composes with token streaming: after a forced
+    backoff the engine keeps segmenting (greedy path) and transcripts of a
+    fresh drive still equal the oracle."""
+    cfg, tok, params, feats = _setup(max_resp=12)
+    ref = LiveInferEngine(params, tok, cfg, kv_capacity=1024)
+    ev_ref = _drive(ref, feats)
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=1024,
+                          spec_decode=True, spec_draft_mode="zero",
+                          stream_tokens=4)
+    ev_a = _drive(eng, feats)
+    assert ev_a == ev_ref
+    backed, drained = eng.maybe_backoff_spec(min_steps=1,
+                                             min_tokens_per_step=1.05)
+    assert backed and not drained
+    eng.reset()
+    assert _drive(eng, feats) == ev_ref
 
 
 def test_stream_tokens_unfused_path():

@@ -209,9 +209,114 @@ def _decode_dib(payload: bytes, w: int, h: int,
     return bgr[:, :, ::-1].copy()  # -> top-down RGB
 
 
-def _decode_jpeg(payload: bytes) -> np.ndarray:
+# JPEG Annex-K default Huffman tables. MJPEG streams are allowed to omit
+# DHT segments entirely ("AVI1" table-less frames — the encoder assumes the
+# decoder knows the standard tables; ffmpeg's MJPEG decoder splices these
+# same tables). Layout per table: Tc/Th byte, 16 BITS counts, then values.
+_DHT_DC_LUM = bytes([0x00,
+    0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]) + bytes(range(12))
+_DHT_DC_CHR = bytes([0x01,
+    0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]) + bytes(range(12))
+_DHT_AC_LUM = bytes([0x10,
+    0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]) + bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_DHT_AC_CHR = bytes([0x11,
+    0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]) + bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _default_dht_segment() -> bytes:
+    body = _DHT_DC_LUM + _DHT_AC_LUM + _DHT_DC_CHR + _DHT_AC_CHR
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _splice_dht(jpeg: bytes, dht: bytes) -> bytes:
+    """If ``jpeg`` carries no DHT segment, insert ``dht`` before SOS.
+
+    Walks the marker-segment chain from SOI; standalone markers (TEM, RSTn)
+    have no length field. Returns the input unchanged when a DHT exists or
+    the stream is malformed (let PIL surface the real error)."""
+    if jpeg[:2] != b"\xff\xd8":
+        return jpeg
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            return jpeg
+        marker = jpeg[pos + 1]
+        if marker == 0xC4:                       # DHT already present
+            return jpeg
+        if marker == 0xDA:                       # SOS: entropy data follows
+            return jpeg[:pos] + dht + jpeg[pos:]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2                             # standalone marker
+            continue
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        pos += 2 + seglen
+    return jpeg
+
+
+def _extradata_dht(strf: bytes) -> Optional[bytes]:
+    """AVI1 convention: Huffman tables for table-less frames travel in the
+    strf extradata (bytes past the 40-byte BITMAPINFOHEADER). Accepts either
+    a full marker-framed DHT segment or bare table payload."""
+    extra = strf[40:]
+    if len(extra) < 20:
+        return None
+    k = extra.find(b"\xff\xc4")
+    if k >= 0:
+        if k + 4 > len(extra):
+            return None
+        (seglen,) = struct.unpack_from(">H", extra, k + 2)
+        seg = extra[k:k + 2 + seglen]
+        return seg if len(seg) == 2 + seglen else None
+    # Bare tables (no marker): frame them as one DHT segment.
+    return b"\xff\xc4" + struct.pack(">H", len(extra) + 2) + extra
+
+
+def _decode_jpeg(payload: bytes, dht: Optional[bytes] = None) -> np.ndarray:
     from PIL import Image
-    img = Image.open(io.BytesIO(payload))
+    jpeg = _splice_dht(payload, dht or _default_dht_segment())
+    img = Image.open(io.BytesIO(jpeg))
     return np.asarray(img.convert("RGB"))
 
 
@@ -272,14 +377,15 @@ def read_avi(path: str, *, with_audio: bool = False) -> AviData:
     frames, audio_parts = [], []
     raw_dib = compression in (b"\x00\x00\x00\x00",) and bitcount == 24
     mjpeg = compression in (b"MJPG", b"mjpg", b"AVI1", b"dmb1")
+    dht = _extradata_dht(v["strf"]) if mjpeg else None
     for fourcc, p, size in _iter_chunks(buf, *movi_span):
         if fourcc == b"LIST":  # 'rec ' interleave groups
             for cc2, p2, s2 in _iter_chunks(buf, p + 4, p + size):
                 _collect(buf, cc2, p2, s2, vstream, astream, raw_dib, mjpeg,
-                         w, h, bottom_up, frames, audio_parts)
+                         w, h, bottom_up, frames, audio_parts, dht)
         else:
             _collect(buf, fourcc, p, size, vstream, astream, raw_dib, mjpeg,
-                     w, h, bottom_up, frames, audio_parts)
+                     w, h, bottom_up, frames, audio_parts, dht)
 
     if not raw_dib and not mjpeg and frames == []:
         raise ValueError(
@@ -297,7 +403,7 @@ def read_avi(path: str, *, with_audio: bool = False) -> AviData:
 
 
 def _collect(buf, fourcc, p, size, vstream, astream, raw_dib, mjpeg, w, h,
-             bottom_up, frames, audio_parts):
+             bottom_up, frames, audio_parts, dht=None):
     try:
         sid = int(fourcc[:2])
     except ValueError:
@@ -308,7 +414,7 @@ def _collect(buf, fourcc, p, size, vstream, astream, raw_dib, mjpeg, w, h,
         if raw_dib:
             frames.append(_decode_dib(payload, w, h, bottom_up))
         elif mjpeg:
-            frames.append(_decode_jpeg(payload))
+            frames.append(_decode_jpeg(payload, dht))
     elif astream is not None and sid == astream and kind == b"wb":
         audio_parts.append(payload)
 

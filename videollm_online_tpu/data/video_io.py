@@ -39,6 +39,35 @@ def find_ffmpeg() -> Optional[str]:
     return _FFMPEG or None
 
 
+def _no_ffmpeg_message(path: str) -> str:
+    """Actionable error for compressed containers the first-party reader
+    cannot touch. The reference corpus is H.264 mp4 (data/utils.py:106-113);
+    inter-frame codecs need a real decoder binary — there is no no-binary
+    story for them, only transcode-ahead-of-time."""
+    kind = "video"
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+        if head[4:8] == b"ftyp":
+            kind = "an ISO-BMFF (mp4/mov, typically H.264/H.265) video"
+        elif head[:4] == b"\x1a\x45\xdf\xa3":
+            kind = "a Matroska/WebM video"
+    except OSError:
+        pass
+    if path.endswith((".mp4", ".mov", ".m4v")):
+        kind = "an mp4 (typically H.264/H.265) video"
+    elif path.endswith((".mkv", ".webm")):
+        kind = "a Matroska/WebM video"
+    return (
+        f"cannot decode {path}: it is {kind} and no ffmpeg binary exists in "
+        "this environment. Inter-frame codecs (H.264/H.265/VP9) require a "
+        "real decoder; the first-party reader (data/avi.py) handles only "
+        "rawvideo-DIB and MJPEG inside .avi. Fix: set FFMPEG_BINARY to an "
+        "ffmpeg build, or transcode once where ffmpeg exists "
+        "(`ffmpeg -i in.mp4 -c:v mjpeg out.avi`), or provide pre-extracted "
+        "features as .npy/.pt (how training/eval normally runs).")
+
+
 def _scale_pad_filter(resolution: int) -> str:
     """Aspect-preserving scale to max-side ``resolution`` + center zero-pad
     to a square (mirrors data/utils.py:51-66)."""
@@ -94,7 +123,7 @@ def ffmpeg_once(src_path: str, dst_path: str, *, fps: Optional[float] = None,
         avi.write_avi(dst_path, frames, out_fps)
         return
     if not ffmpeg:
-        raise RuntimeError("no ffmpeg binary found (set FFMPEG_BINARY)")
+        raise RuntimeError(_no_ffmpeg_message(src_path))
     os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
     cmd = [ffmpeg, "-y", "-loglevel", "error", "-i", src_path]
     filters = []
@@ -117,10 +146,7 @@ def read_video_frames(path: str, *, fps: Optional[float] = None,
     if not ffmpeg:
         if path.endswith(".avi"):
             return _avi_read_preprocessed(path, fps, resolution)
-        raise RuntimeError(
-            f"cannot decode {path}: no ffmpeg binary in this environment; "
-            "provide pre-extracted features (.npy/.pt) or a rawvideo/MJPEG "
-            ".avi (first-party reader, data/avi.py) instead")
+        raise RuntimeError(_no_ffmpeg_message(path))
     res = resolution or 384
     filters = []
     if fps is not None:

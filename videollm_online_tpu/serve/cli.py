@@ -178,8 +178,8 @@ def main(argv=None):
     p.add_argument("--stream_tokens", type=int, default=0,
                    help="S > 0: token-streaming responses — partial text "
                         "prints after every S decoded tokens (the latency "
-                        "serving mode; excludes --pipelined/--speculative/"
-                        "--spec_decode)")
+                        "serving mode; composes with --spec_decode, "
+                        "excludes --pipelined/--speculative)")
     args = p.parse_args(argv)
 
     engine, cfg = build_engine(args)

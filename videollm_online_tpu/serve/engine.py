@@ -229,17 +229,24 @@ class LiveInferEngine:
         # the latency configuration — first text surfaces after S tokens
         # instead of the full budget (the reference streams nothing: its
         # fast_greedy_generate returns only the complete response,
-        # modeling_live.py:173-182). Blocking modes only: the pipelined /
-        # realtime-speculative drivers speculate across dispatch boundaries
-        # and would reorder partial surfacing; spec_decode's draft length
-        # is sized to the whole budget. Opt-in.
+        # modeling_live.py:173-182). COMPOSES with spec_decode: each
+        # segment dispatch runs the n-gram verify loop with budget S, so
+        # the first S tokens surface after ~ceil(S/(K+1)) verify forwards
+        # while decode keeps the multi-token-per-forward rate — users no
+        # longer choose between TTFT and throughput. Continuation
+        # segments skip re-appending their 1-token prompt to the history
+        # ring (it is already there as the previous segment's last emitted
+        # token); transcripts stay greedy-exact either way (verification).
+        # Pipelined / realtime-speculative stay excluded: those drivers
+        # speculate across dispatch boundaries and would reorder partial
+        # surfacing. Opt-in.
         self.stream_tokens = stream_tokens
         self.on_delta = on_delta
         if stream_tokens is not None:
             assert stream_tokens > 0, stream_tokens
-            assert not (pipelined or speculative or spec_decode), (
+            assert not (pipelined or speculative), (
                 "stream_tokens is a blocking-engine mode (no pipelined/"
-                "speculative/spec_decode)")
+                "speculative)")
             assert self.cfg.max_response_tokens % stream_tokens == 0, (
                 "max_response_tokens must be a multiple of stream_tokens "
                 "for exact budget equality with the unsegmented engine")
@@ -247,6 +254,14 @@ class LiveInferEngine:
             # dispatch (nothing can surface mid-dispatch) — force the
             # single-respond fused path instead
             self.multi_respond = False
+            if spec_decode and spec_draft is None:
+                # default draft length sized to the SEGMENT budget: after
+                # the prompt forward's token, S-1 remain, so K = S-1 lets
+                # one verify step complete a segment; drafting past the
+                # segment is clipped work every step
+                self.spec_draft = max(1, min(self.spec_draft,
+                                             stream_tokens - 1) if
+                                      stream_tokens > 1 else 1)
         self.max_new = stream_tokens or self.cfg.max_response_tokens
         # infinite-stream serving: attention restricted to the last
         # ``stream_window`` tokens and the ring COMPACTED (newest window
@@ -518,12 +533,17 @@ class LiveInferEngine:
         max_new = self.max_new  # = stream_tokens when token-streaming
         spec_on = self.spec_decode
 
-        def _generate(params, cache, sel_ids, sel_n, hist, hcount, stats):
+        def _generate(params, cache, sel_ids, sel_n, hist, hcount, stats,
+                      hist_n=None):
             """One response generation: greedy, or n-gram speculative when
             the engine was built with spec_decode (byte-identical output;
             the history ring threads through every jitted program so
             pipelined dispatches chain it device-side like the prepend).
-            Returns (cache, length, out_ids_row, hist, hcount, stats)."""
+            ``hist_n`` (traced) overrides how many prompt tokens enter the
+            history ring — 0 for token-streaming continuation segments,
+            whose 1-token prompt is already in the ring as the previous
+            segment's last emitted token. Returns (cache, length,
+            out_ids_row, hist, hcount, stats)."""
             embeds = llama.embed_tokens(params["llama"], sel_ids, cfg.llama)
             embeds = _pack_valid_first(embeds, sel_ids.shape[1], sel_n)
             if spec_on:
@@ -532,7 +552,8 @@ class LiveInferEngine:
                 out_ids, length, cache, hist, hcount, st = (
                     gen_mod.ngram_speculative_generate(
                         params, cfg, cache, embeds, sel_n[None], hist,
-                        hcount, prompt_ids=rolled[0], prompt_n=sel_n,
+                        hcount, prompt_ids=rolled[0],
+                        prompt_n=sel_n if hist_n is None else hist_n,
                         max_new_tokens=max_new, draft_len=self.spec_draft,
                         draft_mode=self.spec_draft_mode,
                         attn_impl=self.attn_impl))
@@ -820,16 +841,18 @@ class LiveInferEngine:
             return cache, packed, pre_text, pre_n, hist, hcount, stats
 
         def respond(params, cache, prompt_ids, num_valid, start_offset,
-                    hist, hcount, stats):
+                    hist, hcount, stats, hist_valid):
             """start_offset rewinds the ring before the prompt append — the
             host mirror in the normal path; the ROLLBACK point when a
             speculative frame dispatch must be discarded (its stale KV
             beyond start_offset is overwritten by the prompt/response and
-            never attended, the trim-on-fire mechanism)."""
+            never attended, the trim-on-fire mechanism). ``hist_valid``
+            (1,) = prompt tokens to record in the spec-decode history ring
+            (0 for continuation segments, == num_valid otherwise)."""
             cache = cache._replace(offset=start_offset)
             cache, length, out_row, hist, hcount, stats = _generate(
                 params, cache, prompt_ids, num_valid[0], hist, hcount,
-                stats)
+                stats, hist_n=hist_valid[0])
             # single packed readback: [length, new_offset, token ids...]
             packed = jnp.concatenate([
                 length.reshape(1).astype(jnp.int32),
@@ -1667,7 +1690,10 @@ class LiveInferEngine:
             self.params, self.cache, self._dev_prompt([last_tok], bucket),
             self._dev(("nv", 1), lambda: jnp.asarray([1], jnp.int32)),
             jnp.asarray([self._host_offset], jnp.int32),
-            self._hist, self._hcount, self._sstats)
+            self._hist, self._hcount, self._sstats,
+            # the continuation token is already in the history ring (it was
+            # the previous segment's last emitted token) — don't double-log
+            self._dev(("nv", 0), lambda: jnp.asarray([0], jnp.int32)))
         packed = np.asarray(packed)
         self._host_offset = int(packed[1])
         return packed[2:2 + int(packed[0])].astype(np.int32)
@@ -1844,12 +1870,12 @@ class LiveInferEngine:
                 f"the response turn (offset {self._host_offset}, "
                 f"prompt bucket {bucket}); raise kv_capacity, set "
                 f"stream_window, or reset()")
+        nv = self._dev(("nv", n), lambda: jnp.asarray([n], jnp.int32))
         (packed, self.cache, self._hist, self._hcount,
          self._sstats) = self._respond(
             self.params, self.cache, self._dev_prompt(prompt, bucket),
-            self._dev(("nv", n), lambda: jnp.asarray([n], jnp.int32)),
-            jnp.asarray([self._host_offset], jnp.int32),
-            self._hist, self._hcount, self._sstats)
+            nv, jnp.asarray([self._host_offset], jnp.int32),
+            self._hist, self._hcount, self._sstats, nv)
         packed = np.asarray(packed)  # ONE readback: [len, offset, ids...]
         self._host_offset = int(packed[1])
         out = packed[2:2 + int(packed[0])]
