@@ -28,6 +28,14 @@ Env knobs:
                  untimed warmup run always precedes them)
   BENCH_SPEC_ADVERSARIAL = 1  (constant-zero drafts: the worst-case
                  acceptance~0 spec-decode row; transcripts greedy-exact)
+  BENCH_SPEC_FORCED = narration  (forced-response REPLAY: responses emit
+                 template-synthesized narration text — reference
+                 data/ego4d/narration.py:117-130 shape, repetitive but not
+                 cyclic, tokenized with the real BPE asset — through the
+                 spec-decode verify path. Random weights emit self-similar
+                 cycling text = the OPTIMISTIC acceptance bound; this row
+                 pins the REALISTIC tokens/verify-step + FPS between the
+                 optimistic and adversarial rows)
   BENCH_CTX    = KV capacity           (default: 8192; engine mode sizes
                  itself from BENCH_FRAMES if larger)
 """
@@ -40,6 +48,66 @@ import time
 import numpy as np
 
 BASELINE_FPS = 12.5  # A100 reference midpoint (README.md:13)
+
+
+def synth_narration(rng, n_rows):
+    """Reference-distribution narration sentences: short second-person
+    action clauses ("You pick up the knife.") with Zipf-weighted verb/object
+    reuse — the text shape of cleaned Ego4D narrations (reference
+    data/ego4d/narration.py:117-130: '#C C <verb> ...' -> 'You <verb> ...').
+    Repetitive (shared stems, recurring objects) but NOT cyclic — each row
+    is an independent draw, so n-gram drafting gets realistic partial hits
+    instead of the whole-response hits cycling random-weight text gives."""
+    verbs = ["look around", "pick up", "put down", "hold", "cut", "stir",
+             "open", "close", "move", "wash", "place", "turn", "pour",
+             "grab", "wipe", "push"]
+    objs = ["the knife", "a bowl", "the pan", "the vegetables",
+            "the cupboard", "the tap", "the dough", "a spoon", "the plate",
+            "the cloth", "the bottle", "the lid", "some water", "the box",
+            "the drawer", "a bag"]
+    tails = ["", "", "", "", " with your right hand", " on the table",
+             " in the kitchen", " again"]
+
+    def zipf_pick(items):
+        w = 1.0 / np.arange(1, len(items) + 1)
+        return items[rng.choice(len(items), p=w / w.sum())]
+
+    rows = []
+    for _ in range(n_rows):
+        v = zipf_pick(verbs)
+        if v == "look around":
+            s = f"You look around{zipf_pick(tails)}."
+        else:
+            s = f"You {v} {zipf_pick(objs)}{zipf_pick(tails)}."
+        rows.append(s)
+    return rows
+
+
+def narration_script(tok, cfg, n_rows, resp_tokens, seed=5):
+    """Tokenized forced-response rows, EOS-padded to the response budget.
+    Uses the real byte-level-BPE asset (multi-char tokens — realistic
+    n-gram granularity) when its ids fit the model vocab; falls back to
+    the engine's byte tokenizer."""
+    import sys as _sys
+    rows = synth_narration(np.random.RandomState(seed), n_rows)
+    enc = tok.encode
+    try:
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import build_tokenizer
+        hf = build_tokenizer.load_hf(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "assets", "tokenizer", "llama3_style"))
+        if hf.vocab_size <= cfg.llama.vocab_size:
+            enc = lambda s: hf(s, add_special_tokens=False)["input_ids"]
+    except Exception:
+        pass  # byte-tokenizer fallback
+    eos = cfg.eos_token_id
+    script = np.full((n_rows, resp_tokens), eos, np.int32)
+    for r, s in enumerate(rows):
+        ids = list(enc(s))[: resp_tokens - 1]
+        script[r, :len(ids)] = ids
+    return script
 
 MODEL_SIZES = {
     "tiny": dict(vocab_size=2048, hidden_size=256, intermediate_size=512,
@@ -184,9 +252,16 @@ def main():
                        (4 + cfg.frame_num_tokens) * (n_frames + 8)
                        + (n_frames // max(query_every, 1) + 2)
                        * (256 + cfg.max_response_tokens) + 2048)
+        forced_mode = os.environ.get("BENCH_SPEC_FORCED", "")
+        spec_script = None
+        if forced_mode:
+            assert forced_mode == "narration", forced_mode
+            spec_script = narration_script(
+                tok, cfg, n_rows=64, resp_tokens=resp_tokens)
         engine = LiveInferEngine(
             params, tok, cfg, kv_capacity=capacity,
             vision_params=vision_params,
+            spec_forced_script=spec_script,
             kv_quant=os.environ.get("BENCH_KV_QUANT", "") or None,
             # n-gram speculative decoding inside every response turn
             # (models/generate.py) — verify K drafted tokens per
@@ -271,11 +346,15 @@ def main():
         if engine.spec_decode:
             steps, emitted = (int(x) for x in engine.spec_stats())
             print(f"spec_decode: {steps} verify steps -> {emitted} tokens "
-                  f"({emitted / max(steps, 1):.2f} tokens/step)",
+                  f"({emitted / max(steps, 1):.2f} tokens/step)"
+                  + (" [forced narration replay]" if spec_script is not None
+                     else ""),
                   file=sys.stderr)
         metric = (f"streaming_engine_pixels_fps_{size}"
                   if input_kind == "pixels"
                   else f"streaming_engine_fps_{size}")
+        if spec_script is not None:
+            metric += "_narration"
     elif mode == "chunk":
         # sustained-load path: the serving engine batches queued frames into
         # 8-frame chunk steps (serve/engine.py ingest_chunk) — one weight

@@ -72,6 +72,10 @@ def main():
     p.add_argument("--encoder_batch", type=int, default=16,
                    help="0 disables the encoder stage (its SigLIP-large "
                         "compile can be very slow on tunneled compilers)")
+    p.add_argument("--stream_spec", action="store_true",
+                   help="compose the --stream_tokens single-stream TTFT "
+                        "stage with spec_decode (segment dispatches run "
+                        "the n-gram verify loop)")
     p.add_argument("--stream_tokens", type=int, default=0,
                    help="S > 0: token-streaming TTFT stage — single-stream "
                         "engine with stream_tokens=S; reports "
@@ -181,6 +185,7 @@ def main():
                              max_response_tokens=budget)
         clock = {"t0": 0.0, "first": None}
         st_hist = LatencyHistogram()
+        stream_spec = getattr(args, "stream_spec", False)
 
         def on_delta(_delta, done):
             now = time.perf_counter()
@@ -198,6 +203,12 @@ def main():
                          + (n_fr // 8 + 2) * (128 + budget)) // 256 + 1)
         eng = LiveInferEngine(params, tok, st_cfg,
                               kv_capacity=max(args.ctx, st_ctx),
+                              # --stream_spec: compose token streaming with
+                              # n-gram spec decode — each segment dispatch
+                              # is a verify loop, so TTFT keeps the first-
+                              # segment latency while the complete response
+                              # sheds the segmentation tax (VERDICT r4 #2)
+                              spec_decode=stream_spec,
                               stream_tokens=S, on_delta=on_delta)
         st_feats = np.asarray(jax.random.normal(
             jax.random.PRNGKey(3), (n_fr, fnt, cfg.vision_hidden_size),
@@ -363,20 +374,27 @@ def main():
             del ms
         gc.collect()
 
-        def latency_run(scenario: str):
+        def latency_run(scenario: str, stream_tokens: int = 0):
+            # stream_tokens=S: batched TOKEN-STREAMING — partial text
+            # surfaces after every S decoded tokens; report arrival->
+            # first-text ("ttft") next to arrival->complete. Blocking
+            # engine only (the mode excludes pipelined dispatch).
+            S = stream_tokens or None
+            budget = 20 if not S else -(-20 // S) * S
             lat_cfg = cfg.replace(gate_logit_bias=30.0,
-                                  max_response_tokens=20)
+                                  max_response_tokens=budget)
             per_stream = max(args.frames, 32)
             lat_ctx = 256 * (
                 (per_stream * (fnt + 4) + 128
-                 + (per_stream // 8 + 2) * (128 + 20)) // 256 + 1)
+                 + (per_stream // 8 + 2) * (128 + budget)) // 256 + 1)
             eng = MultiStreamEngine(
                 params, tok, lat_cfg, num_streams=args.streams,
                 kv_capacity=lat_ctx,
                 fused=args.ms_mode != "unfused",
-                pipelined=args.ms_mode == "pipelined",
+                pipelined=args.ms_mode == "pipelined" and not S,
                 kv_quant=args.kv_quant or None,
                 spec_decode=args.ms_spec_decode,
+                stream_tokens=S,
                 paged=False if args.ring else args.paged,
                 prefix_cache=not args.ms_no_prefix_cache,
                 max_lag_frames=4 if scenario == "backpressure" else None)
@@ -418,22 +436,24 @@ def main():
                     ticks += 1
                 return responses
 
-            progress(f"latency[{scenario}]: compiling + warmup...")
+            tag = f"{scenario}_streamed" if S else scenario
+            progress(f"latency[{tag}]: compiling + warmup...")
             drive()    # compile/warmup (drive's reset() clears the hist)
-            progress(f"latency[{scenario}]: measuring...")
+            progress(f"latency[{tag}]: measuring...")
             responses = drive()
             lat = eng.stats()["response_latency"]
             pooled = lat.get("response", {})
-            per_s = {k: v for k, v in lat.items() if k != "response"}
+            per_s = {k: v for k, v in lat.items()
+                     if k.startswith("response_s")}
             dropped = sum(s["dropped_frames"]
                           for s in eng.stats()["streams"])
             progress(
-                f"latency[{scenario}] @ {args.streams} streams: "
+                f"latency[{tag}] @ {args.streams} streams: "
                 f"{responses} responses, p50 "
                 f"{pooled.get('p50_ms', float('nan')):.1f} ms, p99 "
                 f"{pooled.get('p99_ms', float('nan')):.1f} ms"
                 + (f", {dropped} frames shed" if dropped else ""))
-            report[f"ms_latency_{scenario}"] = {
+            report[f"ms_latency_{tag}"] = {
                 "streams": args.streams,
                 "responses": responses,
                 "dropped_frames": dropped,
@@ -443,6 +463,25 @@ def main():
                 "per_stream_p50_ms_max": max(
                     (v["p50_ms"] for v in per_s.values()), default=None),
             }
+            if S:
+                ttft = lat.get("ttft", {})
+                per_t = {k: v for k, v in lat.items()
+                         if k.startswith("ttft_s")}
+                progress(
+                    f"latency[{tag}] TTFT @ {args.streams} streams: p50 "
+                    f"{ttft.get('p50_ms', float('nan')):.1f} ms, p99 "
+                    f"{ttft.get('p99_ms', float('nan')):.1f} ms "
+                    f"(S={S})")
+                report[f"ms_latency_{tag}"].update({
+                    "stream_tokens": S,
+                    "ttft": ttft,
+                    "ttft_per_stream_p50_ms_max": max(
+                        (v["p50_ms"] for v in per_t.values()),
+                        default=None),
+                    "ttft_per_stream_p99_ms_max": max(
+                        (v["p99_ms"] for v in per_t.values()),
+                        default=None),
+                })
             # the engine's jitted programs capture self (a cycle), so its
             # KV pool outlives the call until a full GC — collect NOW or
             # the next scenario's pool OOMs next to this one at 16 x 8B
@@ -451,6 +490,11 @@ def main():
 
         for scenario in ("steady", "churn", "backpressure"):
             latency_run(scenario)
+        if args.stream_tokens > 0:
+            # token-streaming TTFT at N streams (VERDICT r4 #1): same
+            # steady/backpressure workloads, segmented batched responds
+            latency_run("steady", stream_tokens=args.stream_tokens)
+            latency_run("backpressure", stream_tokens=args.stream_tokens)
 
       # 4. encoder throughput (random SigLIP-large weights)
       if args.encoder_batch > 0 and not args.only_ms:

@@ -305,6 +305,51 @@ def test_multistream_fused_slot_overflow():
                 f"unfused={ref_out[i]}")
 
 
+def test_multistream_query_at_fired_frame_slot_exhausted():
+    """A query at EXACTLY a fired frame's timestamp outranks the gate fire
+    — the fire is DROPPED and only the query answers (single-stream
+    _stream_until_trigger; reference demo/inference.py:72-74 precedes
+    :76-81). This must hold in the fused tick EVEN when earlier fires in
+    the same burst exhausted the R_TICK response slots: the slot-starved
+    query turn defers to the next tick (round-5 fix: it previously routed
+    through the gen fallback, fabricating a gen response the semantics
+    drop)."""
+    from videollm_online_tpu.serve.engine import LiveInferEngine
+
+    cfg, tok, params = _setup(threshold=1.0, seed=5)  # fire EVERY frame
+    n_frames = 4
+    feats = np.random.RandomState(23).randn(
+        n_frames, cfg.frame_num_tokens,
+        cfg.vision_hidden_size).astype(np.float32)
+    qt = 2 / cfg.frame_fps  # exactly the 3rd frame's timestamp
+
+    eng = LiveInferEngine(params, tok, cfg, kv_capacity=4096)
+    eng.load_video(feats)
+    eng.input_query_stream("what now?", video_time=qt)
+    oracle = []
+    for i in range(n_frames):
+        eng.input_video_stream(i / cfg.frame_fps)
+        while True:
+            q, r = eng()
+            if r is None:
+                break
+            oracle.append((q, r))
+    # the fire at qt was dropped: exactly one entry at qt, the query's
+    at_qt = [e for e in oracle if f"= {qt}s" in e[1]]
+    assert len(at_qt) == 1 and at_qt[0][0] is not None, oracle
+
+    queries = {0: (qt, "what now?")}
+    # one burst covering all frames -> fires at frames 0,1 fill both
+    # R_TICK slots before the query turn at frame 2
+    for fused in (True, False):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=1,
+                               kv_capacity=4096, chunk_frames=4,
+                               fused=fused)
+        out = _drive(ms, [feats], queries, [0.0, 2.5], cfg.frame_fps)
+        assert out[0] == oracle, (
+            f"fused={fused}:\nmulti={out[0]}\noracle={oracle}")
+
+
 def test_close_stream_reuses_slot():
     """close_stream (continuous batching): ending a dialogue returns its
     transcript, frees its pages (paged mode), and the slot serves a NEW

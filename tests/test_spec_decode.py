@@ -410,3 +410,71 @@ def test_spec_auto_backoff_multistream(setup):
     assert sum(len(t) for t in g) >= 4
     # a second call is a no-op once backed off
     assert z_ms.maybe_backoff_spec() is False
+
+
+def test_spec_forced_replay_emits_script(setup):
+    """forced_ids replay (models/generate.py): the emitted stream IS the
+    script (up to its first EOS), regardless of what the model would
+    argmax; stats still count real verify steps; acceptance reflects how
+    well n-gram drafting predicts the SCRIPT."""
+    cfg, params = setup
+    eos = cfg.eos_token_id
+    max_new = 16
+    script = np.full((max_new,), eos, np.int32)
+    body = [72, 101, 32, 72, 101, 32, 72, 101, 32, 72]  # "He He He H"-ish
+    script[:len(body)] = body
+    cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=256)
+    hist, hc = _fresh_hist()
+    ids = [5, 6, 7]
+    out, length, cache, hist, hc, stats = gen.ngram_speculative_generate(
+        params, cfg, cache, _emb(params, cfg, ids),
+        jnp.asarray([len(ids)], jnp.int32), hist, hc,
+        prompt_ids=jnp.asarray(ids, jnp.int32),
+        prompt_n=jnp.asarray(len(ids), jnp.int32),
+        max_new_tokens=max_new,
+        forced_ids=jnp.asarray(script, jnp.int32))
+    out, n = np.asarray(out)[0], int(length[0])
+    # emitted = script truncated at (and including) its first EOS
+    want = list(body) + [eos]
+    assert n == len(want)
+    np.testing.assert_array_equal(out[:n], want)
+    steps, emitted = int(stats[0]), int(stats[1])
+    assert emitted == n and steps >= 1
+    # the repeated "He " trigrams must draft-accept: fewer steps than tokens
+    assert steps < emitted, (steps, emitted)
+    # cache invariant: prompt + emitted-1 entries (same as greedy)
+    assert int(cache.offset[0]) == len(ids) + n - 1
+
+
+def test_engine_spec_forced_script_transcripts(setup):
+    """LiveInferEngine(spec_forced_script=...): every response turn emits
+    the next script row verbatim (cycling), across the fused multi-respond
+    AND pipelined dispatch paths (the bench headline configuration); the
+    device-side cursor (sstats[2]) needs no host sync."""
+    cfg, tok, params = _setup(threshold=0.725, seed=2)
+    cfg = cfg.replace(gate_logit_bias=30.0, max_response_tokens=24)
+    eos = cfg.eos_token_id
+    texts = ["You look around.", "You pick up the knife.",
+             "You stir the bowl."]
+    script = np.full((3, 24), eos, np.int32)
+    for r, s in enumerate(texts):
+        ids = list(tok.encode(s))[:23]
+        script[r, :len(ids)] = ids
+    n_frames = 24
+    feats = np.random.RandomState(3).randn(
+        n_frames, cfg.frame_num_tokens,
+        cfg.vision_hidden_size).astype(np.float32)
+    queries = [(t, "narrate?") for t in (0.5, 3.5, 6.5, 9.5)]
+    for pipelined in (False, True):
+        eng = LiveInferEngine(params, tok, cfg, kv_capacity=4096,
+                              spec_decode=True, spec_forced_script=script,
+                              pipelined=pipelined)
+        transcript = _run_engine(eng, cfg, feats,
+                                 [i * 0.5 for i in range(n_frames)], queries)
+        resps = [r.split("Assistant:", 1)[1] for _, r in transcript]
+        assert len(resps) >= 4
+        for k, r in enumerate(resps):
+            assert r == texts[k % 3], (pipelined, k, r)
+        steps, emitted = (int(x) for x in eng.spec_stats())
+        assert steps >= 1 and emitted >= len(resps)
+        assert int(np.asarray(eng._sstats)[2]) == len(resps)

@@ -222,3 +222,58 @@ def test_web_demo_token_streaming():
     assert saw_partial, "no partial bubble ever surfaced"
     # the bubble grew (or at least repeated) across polls
     assert len(partial_lens) >= 1
+
+
+def test_multi_session_web_token_streaming():
+    """Multi-session token streaming: a MultiStreamEngine built with
+    stream_tokens=S grows per-slot {"partial": true} bubbles across polls,
+    the completed response's formatted entry swaps into its bubble, and
+    every session's final transcript equals the non-streaming multi-session
+    run's (segmented-continuation exactness at N streams)."""
+    from videollm_online_tpu.serve.multistream import MultiStreamEngine
+    from videollm_online_tpu.serve.web import serve_multi
+
+    cfg, tok, params = _setup()
+    n_frames = 8
+    times = [i / cfg.frame_fps for i in range(n_frames)]
+
+    def drive(stream_tokens):
+        ms = MultiStreamEngine(params, tok, cfg, num_streams=2,
+                               kv_capacity=2048, chunk_frames=4,
+                               stream_tokens=stream_tokens)
+        httpd, demo = serve_multi(ms, cfg.frame_fps, port=0)
+        thr = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thr.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        saw_partial = False
+        try:
+            assert _req(base, "/load", {"sid": "a", "frames": n_frames,
+                                        "seed": 7})["ok"]
+            assert _req(base, "/load", {"sid": "b", "frames": n_frames,
+                                        "seed": 9})["ok"]
+            _req(base, "/query", {"sid": "a", "text": "what now?",
+                                  "time": times[2]})
+            for t in times:
+                ma = _req(base, f"/step?sid=a&time={t}")["messages"]
+                mb = _req(base, f"/step?sid=b&time={t}")["messages"]
+                saw_partial |= any(m.get("partial") for m in ma + mb)
+            for _ in range(48):  # drain continuations + queued responses
+                ma = _req(base, f"/step?sid=a&time={times[-1]}")["messages"]
+                mb = _req(base, f"/step?sid=b&time={times[-1]}")["messages"]
+                saw_partial |= any(m.get("partial") for m in ma + mb)
+                if (not demo.ms.pending()
+                        and not any(m.get("partial") for m in ma + mb)):
+                    break
+            return ([(m["role"], m["text"]) for m in ma],
+                    [(m["role"], m["text"]) for m in mb], saw_partial)
+        finally:
+            httpd.shutdown()
+
+    ref_a, ref_b, _ = drive(stream_tokens=None)
+    assert any(r == "assistant" for r, _ in ref_a + ref_b)
+    got_a, got_b, saw_partial = drive(stream_tokens=4)
+    assert got_a == ref_a and got_b == ref_b, (
+        f"\nstreamed a={got_a}\nref a={ref_a}"
+        f"\nstreamed b={got_b}\nref b={ref_b}")
+    assert saw_partial, "no partial bubble ever surfaced over HTTP"
+

@@ -25,33 +25,84 @@ from ..models import live, llama
 IGNORE = -100
 
 
+# lm_head/softmax chunk length: stats reduce each position to 4 scalars,
+# so the (T, V) logits never need to exist at once — at 8B/128256-vocab a
+# 10-minute live1+ sample (T ~ 13k) would be ~6.7 GB of f32 logits + the
+# log_softmax temporary, which cannot sit next to the 8 GB int8 base on a
+# 16 GiB chip. lax.map over LM_CHUNK-position chunks caps the live logits
+# at LM_CHUNK x V f32 (~1 GB at 2048) with zero numerics change (each
+# position's softmax is independent).
+LM_CHUNK = 2048
+
+
 def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
                      interval_id: int, kv_cache):
-    """Jit body: full forward + the four per-token vectors."""
-    logits, _, cache = live.forward(params, cfg, input_ids=input_ids,
-                                    frames=frames, kv_cache=kv_cache)
-    lg = logits[0].astype(jnp.float32)                      # (T, V)
-    logp = jax.nn.log_softmax(lg, axis=-1)
-    lab = jnp.clip(labels[0], 0, lg.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
-    argmax = jnp.argmax(lg, axis=-1)
-    masked = lg.at[:, interval_id].set(-jnp.inf)
-    argmax_excl = jnp.argmax(masked, axis=-1)
-    p_interval = jnp.exp(logp[:, interval_id])
-    return nll, argmax, argmax_excl, p_interval, cache
+    """Jit body: full decoder forward (hidden states only) + a chunked
+    lm_head producing the four per-token vectors."""
+    embeds = live.joint_embed(params, cfg, input_ids, frames)
+    lora = params.get("lora")
+    scaling = (cfg.lora.scaling
+               if (cfg.lora is not None and lora is not None) else 1.0)
+    hidden, cache = llama.forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        kv_cache=kv_cache, lora=lora, lora_scaling=scaling,
+        return_hidden=True)
+    h = hidden[0]                                           # (T, H)
+    T = h.shape[0]
+    lab = jnp.clip(labels[0], 0, cfg.llama.vocab_size - 1)
+    C = min(LM_CHUNK, T)
+    pad = (-T) % C
+    h_c = jnp.pad(h, ((0, pad), (0, 0))).reshape(-1, C, h.shape[1])
+    lab_c = jnp.pad(lab, (0, pad)).reshape(-1, C)
+
+    def chunk_stats(args):
+        hc, lc = args
+        lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
+                           lora_scaling=scaling).astype(jnp.float32)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nll = -jnp.take_along_axis(logp, lc[:, None], axis=-1)[:, 0]
+        argmax = jnp.argmax(lg, axis=-1)
+        argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf),
+                                 axis=-1)
+        return nll, argmax, argmax_excl, jnp.exp(logp[:, interval_id])
+
+    nll, argmax, argmax_excl, p_interval = jax.lax.map(
+        chunk_stats, (h_c, lab_c))
+    return (nll.reshape(-1)[:T], argmax.reshape(-1)[:T],
+            argmax_excl.reshape(-1)[:T], p_interval.reshape(-1)[:T], cache)
 
 
 def _rollforward_stats(params, cfg: LiveConfig, cache, append_ids,
                        append_frames, interval_id: int):
-    """Jit body for the rollforward forward (modeling_live.py:128-141)."""
-    logits, _, _ = live.forward(params, cfg, input_ids=append_ids,
-                                frames=append_frames, kv_cache=cache)
-    lg = logits[0].astype(jnp.float32)
-    logp = jax.nn.log_softmax(lg, axis=-1)
-    argmax = jnp.argmax(lg, axis=-1)
-    argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf), axis=-1)
-    p_interval = jnp.exp(logp[:, interval_id])
-    return argmax, argmax_excl, p_interval
+    """Jit body for the rollforward forward (modeling_live.py:128-141) —
+    same chunked lm_head as _per_token_stats (a single huge turn's
+    rollforward can append thousands of frame units)."""
+    embeds = live.joint_embed(params, cfg, append_ids, append_frames)
+    lora = params.get("lora")
+    scaling = (cfg.lora.scaling
+               if (cfg.lora is not None and lora is not None) else 1.0)
+    hidden, _ = llama.forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        kv_cache=cache, lora=lora, lora_scaling=scaling,
+        return_hidden=True)
+    h = hidden[0]                                           # (T, H)
+    T = h.shape[0]
+    C = min(LM_CHUNK, T)
+    pad = (-T) % C
+    h_c = jnp.pad(h, ((0, pad), (0, 0))).reshape(-1, C, h.shape[1])
+
+    def chunk_stats(hc):
+        lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
+                           lora_scaling=scaling).astype(jnp.float32)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        argmax = jnp.argmax(lg, axis=-1)
+        argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf),
+                                 axis=-1)
+        return argmax, argmax_excl, jnp.exp(logp[:, interval_id])
+
+    argmax, argmax_excl, p_interval = jax.lax.map(chunk_stats, h_c)
+    return (argmax.reshape(-1)[:T], argmax_excl.reshape(-1)[:T],
+            p_interval.reshape(-1)[:T])
 
 
 class StreamEvaluator:

@@ -167,6 +167,7 @@ def ngram_speculative_generate(
     draft_len: int = SPEC_DRAFT,
     draft_mode: str = "ngram",
     attn_impl=None,
+    forced_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array, jax.Array, jax.Array]:
     """`greedy_generate` with n-gram speculative verification.
 
@@ -183,7 +184,18 @@ def ngram_speculative_generate(
     drafts — the exact program the no-match fallback runs — pinning the
     ADVERSARIAL worst case: acceptance ~0, one emitted token per
     verify forward (same forward count as plain greedy, each over K+1
-    positions instead of 1). Used to bound the headline from below."""
+    positions instead of 1). Used to bound the headline from below.
+
+    ``forced_ids`` ((max_new,) i32): FORCED-RESPONSE REPLAY — the emitted
+    token at index i is ``forced_ids[i]`` instead of the verify forward's
+    argmax (the argmax is still computed and data-flows into the result so
+    nothing is DCE'd: every forward, lm_head gather, and acceptance
+    comparison runs identically). Acceptance is a property of the emitted
+    token stream, so replaying reference-distribution narration text
+    through the verify path measures the REALISTIC tokens/verify-step a
+    trained checkpoint would see — without trained weights (random weights
+    emit self-similar cycling text, the optimistic bound). Pad the row
+    with EOS to end the response at the script's length."""
     assert draft_mode in ("ngram", "zero"), draft_mode
     max_new = max_new_tokens or cfg.max_response_tokens
     K = draft_len
@@ -203,6 +215,9 @@ def ngram_speculative_generate(
                         num_valid=num_valid,
                         logit_gather_positions=jnp.clip(num_valid - 1, 0, None))
     first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)  # (B,)
+    if forced_ids is not None:
+        # replay: override the token, keep the argmax live in the graph
+        first = forced_ids[0][None] + 0 * first
 
     out = jnp.zeros((1, max_new), jnp.int32)
     out = out.at[:, 0].set(first)
@@ -229,6 +244,13 @@ def ngram_speculative_generate(
             num_valid=jnp.full((1,), K + 1, jnp.int32),
             logit_gather_positions=jnp.arange(K + 1, dtype=jnp.int32)[None])
         preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (K+1,)
+        if forced_ids is not None:
+            # replay: the model "would emit" the scripted tokens — the
+            # argmax chain stays live (+0*preds) so the verify forward's
+            # full cost is measured, only the token SOURCE changes
+            pos = jnp.clip(i + jnp.arange(K + 1, dtype=jnp.int32),
+                           0, max_new - 1)
+            preds = forced_ids[pos] + 0 * preds
         k = jnp.arange(K, dtype=jnp.int32)
         mism = preds[:K] != drafts
         a = jnp.min(jnp.where(mism, k, K))               # accepted drafts

@@ -133,6 +133,7 @@ class LiveInferEngine:
         spec_decode: bool = False,
         spec_draft: Optional[int] = None,
         spec_draft_mode: str = "ngram",
+        spec_forced_script=None,
         stream_tokens: Optional[int] = None,
         on_delta: Optional[Callable[[str, bool], None]] = None,
     ):
@@ -161,6 +162,27 @@ class LiveInferEngine:
         # still greedy-exact (verification). Bench/diagnostic knob.
         assert spec_draft_mode in ("ngram", "zero"), spec_draft_mode
         self.spec_draft_mode = spec_draft_mode
+        # spec_forced_script ((n_rows, max_response_tokens) i32): FORCED-
+        # RESPONSE REPLAY — response turn r emits row r%n_rows verbatim
+        # instead of the model's argmax, while every forward / lm_head /
+        # acceptance comparison runs identically (models/generate.py
+        # forced_ids). Random weights emit self-similar cycling text (the
+        # OPTIMISTIC acceptance bound); replaying reference-distribution
+        # narration text through the verify path pins the REALISTIC
+        # tokens/verify-step + FPS a trained checkpoint would see, with no
+        # trained weights (text shape per reference data/ego4d/
+        # narration.py:117-130). Pad rows with EOS to end responses early.
+        # Bench/diagnostic knob; requires spec_decode.
+        self._forced_script = None
+        if spec_forced_script is not None:
+            assert spec_decode, "spec_forced_script requires spec_decode"
+            assert stream_tokens is None, (
+                "forced replay + stream_tokens unsupported (bench knob)")
+            script = np.asarray(spec_forced_script, np.int32)
+            budget = (cfg or tokenizer.cfg).max_response_tokens
+            assert script.ndim == 2 and script.shape[1] == budget, (
+                f"script must be (n_rows, {budget}); got {script.shape}")
+            self._forced_script = script
         # kv_quant="int8": per-token-per-head symmetric int8 KV cache —
         # halves KV memory (2x stream capacity at a given kv_capacity) and
         # halves attention's KV HBM reads; the Pallas decode kernels
@@ -549,6 +571,14 @@ class LiveInferEngine:
             if spec_on:
                 rolled = jnp.roll(sel_ids, -(sel_ids.shape[1] - sel_n),
                                   axis=1)
+                forced = None
+                if self._forced_script is not None:
+                    # tiny (n_rows, budget) i32 constant (~KBs — safe to
+                    # close over); stats[2] counts response turns and
+                    # doubles as the device-side script cursor, so
+                    # pipelined dispatches index it without a host sync
+                    script = jnp.asarray(self._forced_script)
+                    forced = script[stats[2] % script.shape[0]]
                 out_ids, length, cache, hist, hcount, st = (
                     gen_mod.ngram_speculative_generate(
                         params, cfg, cache, embeds, sel_n[None], hist,
@@ -556,8 +586,11 @@ class LiveInferEngine:
                         prompt_n=sel_n if hist_n is None else hist_n,
                         max_new_tokens=max_new, draft_len=self.spec_draft,
                         draft_mode=self.spec_draft_mode,
-                        attn_impl=self.attn_impl))
-                stats = stats + st
+                        attn_impl=self.attn_impl, forced_ids=forced))
+                if self._forced_script is not None:
+                    stats = stats.at[:2].add(st).at[2].add(1)
+                else:
+                    stats = stats + st
             else:
                 out_ids, length, cache = gen_mod.greedy_generate(
                     params, cfg, cache, embeds, sel_n[None],
@@ -959,7 +992,10 @@ class LiveInferEngine:
         # never output (verification).
         self._hist = jnp.zeros((gen_mod.SPEC_HIST,), jnp.int32)
         self._hcount = jnp.zeros((), jnp.int32)
-        self._sstats = jnp.zeros((2,), jnp.int32)
+        # forced replay carries a third element: response-turn count =
+        # the device-side script cursor (see _generate)
+        self._sstats = jnp.zeros(
+            (3 if self._forced_script is not None else 2,), jnp.int32)
 
     # ------------------------------------------------------------------ I/O
     def load_video(self, video: Any):
@@ -979,7 +1015,7 @@ class LiveInferEngine:
         """[verify_steps, emitted_tokens] accumulated by spec_decode
         responses (one device readback; call off the hot path). Mean
         accepted drafts per step = tokens/steps - 1."""
-        return np.asarray(self._sstats)
+        return np.asarray(self._sstats)[:2]
 
     def stats(self) -> Dict[str, Any]:
         """Serving observability snapshot (host state only — zero device

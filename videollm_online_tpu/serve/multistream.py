@@ -73,6 +73,8 @@ class MultiStreamEngine:
                  spec_decode: bool = False,
                  spec_draft: Optional[int] = None,
                  spec_draft_mode: str = "ngram",
+                 stream_tokens: Optional[int] = None,
+                 on_delta=None,
                  paged=None, page_size: int = 512,
                  pool_pages: Optional[int] = None,
                  prefix_cache: bool = True,
@@ -181,6 +183,42 @@ class MultiStreamEngine:
         self.fnt = self.cfg.frame_num_tokens
         self.hidden = self.cfg.llama.hidden_size
         self.max_new = max_new_tokens or self.cfg.max_response_tokens
+        # stream_tokens=S: TOKEN-STREAMING batched responses (the latency
+        # serving mode at N streams — the reference surfaces nothing until
+        # a response completes, modeling_live.py:173-182, and its demo
+        # waits out whole turns, demo/app.py:85-91). Device respond
+        # budgets shrink to S tokens; a response that fills its segment
+        # without EOS leaves the stream OPEN: the stream stops ingesting,
+        # and each subsequent step() starts with ONE batched continuation
+        # dispatch over ALL open streams (1-token prompt = the previous
+        # segment's last sampled token — exactly what the unsegmented
+        # decode loop feeds; spec history rings see hist_valid=0 so the
+        # token is not double-logged). Partial text surfaces via
+        # on_delta(stream, delta, done) after every segment; concatenated
+        # segments equal the unsegmented greedy response byte-for-byte
+        # (continuation exactness + spec-decode verification), so
+        # transcripts and step() results are unchanged — only the latency
+        # shape: first text after ~S tokens instead of the full budget,
+        # and other streams' ingest interleaves between segments.
+        # Blocking drivers only: pipelined dispatches speculate across
+        # tick boundaries and would reorder partial surfacing.
+        self.resp_budget = self.max_new
+        self.stream_tokens = stream_tokens
+        self.on_delta = on_delta
+        if stream_tokens is not None:
+            assert stream_tokens > 0, stream_tokens
+            assert not pipelined, (
+                "stream_tokens is a blocking-mode feature (no pipelined)")
+            assert self.resp_budget % stream_tokens == 0, (
+                "the response budget must be a multiple of stream_tokens "
+                "for exact budget equality with the unsegmented engine")
+            self.max_new = stream_tokens
+            if spec_decode and spec_draft is None:
+                # draft to the segment budget (K = S-1): one verify step
+                # can complete a segment; drafting past it is clipped work
+                self.spec_draft = (max(1, min(self.spec_draft,
+                                              stream_tokens - 1))
+                                   if stream_tokens > 1 else 1)
         self.chunk_frames = max(1, chunk_frames)
         if attn_impl is None:
             from ..ops.auto import auto_attention
@@ -325,6 +363,7 @@ class MultiStreamEngine:
 
         sp_ids = self._stream_prompt_ids
         R = R_TICK
+        streaming = self.stream_tokens is not None
 
         def _respond_core(params, cache, prompt_ids, num_valid, active):
             """Batched greedy decode body shared by the standalone respond
@@ -372,12 +411,16 @@ class MultiStreamEngine:
         Ksp = self.spec_draft
 
         def _respond_core_spec(params, cache, prompt_ids, num_valid, active,
-                               hist, hcount, stats):
+                               hist, hcount, stats, hist_nv=None):
             """Batched n-gram speculative decode: the greedy core's exact
             output token streams (per-stream verification), up to
             ``Ksp + 1`` tokens per stream per forward. hist (N, H) /
             hcount (N,) are the per-stream history rings; stats (2,)
-            accumulates [verify_steps, emitted] across all streams."""
+            accumulates [verify_steps, emitted] across all streams.
+            ``hist_nv`` ((N,), traced) overrides how many prompt tokens
+            feed the history rings — 0 for token-streaming continuation
+            segments, whose 1-token prompt is already in the ring as the
+            previous segment's last emitted token."""
             P = prompt_ids.shape[1]
             p_emb = llama.embed_tokens(params["llama"], prompt_ids,
                                        cfg.llama)
@@ -390,8 +433,9 @@ class MultiStreamEngine:
             # prompt ids feed the history rings (valid-first per row)
             ids_vf = jax.vmap(lambda row, n: jnp.roll(row, -(P - n)))(
                 prompt_ids, num_valid)
+            hn = nv if hist_nv is None else jnp.where(active, hist_nv, 0)
             hist, hcount = jax.vmap(gen_mod.hist_append_ids)(
-                hist, hcount, ids_vf, nv)
+                hist, hcount, ids_vf, hn)
             gather = jnp.clip(nv - 1, 0, None)
             logits, cache = fwd(params, p_emb, cache, nv, gather)
             first = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -471,25 +515,28 @@ class MultiStreamEngine:
             return out, lengths, cache, hist, hcount, stats
 
         def _respond_any(params, cache, prompt_ids, num_valid, active,
-                         hist, hcount, stats):
+                         hist, hcount, stats, hist_nv=None):
             """Greedy or speculative batched respond; the spec state is a
             pass-through when spec_decode is off (trace-time switch)."""
             if spec_on:
                 return _respond_core_spec(params, cache, prompt_ids,
                                           num_valid, active, hist, hcount,
-                                          stats)
+                                          stats, hist_nv)
             out, lengths, cache = _respond_core(params, cache, prompt_ids,
                                                 num_valid, active)
             return out, lengths, cache, hist, hcount, stats
 
         def respond(params, cache, prompt_ids, num_valid, active,
-                    hist, hcount, stats):
+                    hist, hcount, stats, hist_valid):
             """Batched decode for the ACTIVE streams (standalone dispatch:
-            the unfused path + the stop_fire fallback). One packed
-            (N, 2 + max_new) readback: [len, offset, ids...]."""
+            the unfused path, the stop_fire fallback, and token-streaming
+            continuation segments — the latter pass ``hist_valid`` = 0 so
+            the 1-token continuation prompt is not double-logged in the
+            spec history rings). One packed (N, 2 + max_new) readback:
+            [len, offset, ids...]."""
             out, lengths, cache, hist, hcount, stats = _respond_any(
                 params, cache, prompt_ids, num_valid, active, hist, hcount,
-                stats)
+                stats, hist_valid)
             packed = jnp.concatenate(
                 [lengths[:, None], cache.offset[:, None], out], axis=1)
             return packed, cache, hist, hcount, stats
@@ -655,11 +702,20 @@ class MultiStreamEngine:
                 do_gen = jnp.logical_and(fired, jnp.logical_not(want_q))
                 do_resp = jnp.logical_and(jnp.logical_or(do_gen, want_q),
                                           jnp.logical_and(slots, ~stop))
-                new_stop_fire = jnp.logical_and(
-                    jnp.logical_or(fired, want_q),
-                    jnp.logical_not(slots))
+                # out of slots: a pure gate fire needs the host's gen
+                # fallback (stop_fire); a slot-starved QUERY turn instead
+                # just freezes the stream — the query stays unanswered and
+                # answers on the NEXT tick (force/qae path). Routing want_q
+                # through the gen fallback would fabricate a gen response
+                # the single-stream semantics DROP when a query sits at the
+                # fired frame's time (engine._stream_until_trigger,
+                # reference demo/inference.py:72-74 before :76-81).
+                new_stop_fire = jnp.logical_and(do_gen,
+                                                jnp.logical_not(slots))
+                new_stop_q = jnp.logical_and(want_q, jnp.logical_not(slots))
                 stop_fire = jnp.logical_or(stop_fire, new_stop_fire)
-                stop = jnp.logical_or(stop, new_stop_fire)
+                stop = jnp.logical_or(
+                    stop, jnp.logical_or(new_stop_fire, new_stop_q))
 
                 use_q = jnp.logical_and(do_resp, want_q)
                 sel_ids = jnp.where(use_q[:, None], q_ids, g_ids)
@@ -693,6 +749,17 @@ class MultiStreamEngine:
                     pre_text, pre_n, rout, rlen)
                 pre_text = jnp.where(do_resp[:, None], pt_r, pre_text)
                 pre_n = jnp.where(do_resp, pn_r, pre_n)
+                if streaming:
+                    # token streaming: a response that filled its S-token
+                    # segment without EOS is UNFINISHED — freeze the
+                    # stream's tick (no further ingest; unconsumed frames
+                    # re-queue via the short path) so the host can chain
+                    # continuation segments. prep_after already installed
+                    # [last_tok] — exactly the continuation prompt.
+                    last_r = rout[rows, jnp.clip(rlen - 1, 0, max_new - 1)]
+                    unfin = jnp.logical_and(do_resp, jnp.logical_and(
+                        rlen == max_new, last_r != eos))
+                    stop = jnp.logical_or(stop, unfin)
                 return (cache, consumed, n_resp, answered, stop, defer_q,
                         pre_text, pre_n, stop_fire, out, olen, okind,
                         ofidx, hist, hcount, stats)
@@ -854,6 +921,12 @@ class MultiStreamEngine:
         # fused-tick surfacing queues (step() returns one response per
         # stream per call; extras queue here FIFO)
         self._resp_out = [collections.deque() for _ in range(self.N)]
+        # token-streaming: per-stream OPEN (unfinished) response state —
+        # {"toks", "kind", "t", "q", "surfaced", "ttft_done"}. A stream
+        # with an open response ingests nothing until its continuation
+        # segments complete (exactly the unsegmented ordering: the full
+        # response's KV precedes any later frame).
+        self._open: List[Optional[Dict[str, Any]]] = [None] * self.N
         # pipelined mode: unresolved tick dispatches + the device-resident
         # prepend chaining the next dispatch
         self._pipe: collections.deque = collections.deque()
@@ -948,6 +1021,123 @@ class MultiStreamEngine:
             self._resp_hist.add("response", dt)
             self._resp_hist.add(f"response_s{i}", dt)
 
+    # --------------------------------------------- token-streaming segments
+    def _begin_open(self, i: int, kind: str, t, q: Optional[str]):
+        """Open a token-streaming response for stream ``i``: the first
+        segment's tokens follow via _extend_open. While open, the stream
+        ingests nothing (collection skips it) — exactly the unsegmented
+        ordering, where the full response's KV precedes any later frame."""
+        assert self._open[i] is None, f"stream {i} already open"
+        self._open[i] = {"toks": [], "kind": kind, "t": t, "q": q,
+                         "surfaced": "", "ttft_done": False}
+        # prepends stay UNTOUCHED: a response that completes in this very
+        # absorb keeps its path's prepend handling (the fused-tick readback
+        # prepend accounts for ingest PAST the response inside the same
+        # dispatch); while a response stays open nothing reads prepends
+        # (the stream is excluded from collection), and _finish_open
+        # installs the post-response prepend when a continuation ends it.
+
+    def _extend_open(self, i: int, toks: np.ndarray,
+                     set_prepends: bool = True) -> bool:
+        """Absorb one decoded segment into stream ``i``'s open response:
+        surface the text delta, and finish when the segment ended short
+        (EOS), hit EOS at the boundary, or exhausted the response budget
+        (the single-stream _finish_or_continue predicate). Returns True
+        when the response completed. ``set_prepends=False`` for fused-tick
+        segments — a response COMPLETED inside the tick already had its
+        prepend installed device-side (prep_after), and ingest may have
+        continued past it within that very dispatch."""
+        o = self._open[i]
+        o["toks"].extend(int(x) for x in np.asarray(toks).tolist())
+        done = (toks.size == 0
+                or len(o["toks"]) >= self.resp_budget
+                or int(toks.size) < self.max_new
+                or int(toks[-1]) == self.cfg.eos_token_id)
+        self._emit_delta(i, done)
+        if done:
+            self._finish_open(i, set_prepends)
+        return done
+
+    def _emit_delta(self, i: int, done: bool):
+        """One segment surfaced: decode the ACCUMULATED ids and emit the
+        text suffix (token-boundary-safe: a multi-token grapheme surfaces
+        once complete). Fires even when the delta is empty — segments mark
+        progress, and the FIRST call is the TTFT sample."""
+        o = self._open[i]
+        text = self.tokenizer.decode(
+            np.asarray(o["toks"], np.int32), skip_special_tokens=True)
+        delta = text[len(o["surfaced"]):]
+        o["surfaced"] = text
+        if not o["ttft_done"]:
+            o["ttft_done"] = True
+            # arrival->first-text (PEEK the arrival — completion pops it):
+            # the per-stream TTFT SLO, keys "ttft"/"ttft_s<i>" in stats()
+            arr = self._arrival[i].get((o["kind"], o["t"]))
+            if arr is not None:
+                dt = _time.perf_counter() - arr
+                self._resp_hist.add("ttft", dt)
+                self._resp_hist.add(f"ttft_s{i}", dt)
+        if self.on_delta is not None:
+            self.on_delta(i, delta, done)
+
+    def _finish_open(self, i: int, set_prepends: bool):
+        """Close stream ``i``'s open response: install the post-response
+        prepend (standalone-respond segments only), queue the transcript
+        entry (byte-identical to the unsegmented engine's), and record the
+        completion latency."""
+        o = self._open[i]
+        self._open[i] = None
+        toks = o["toks"]
+        if set_prepends:
+            if toks and toks[-1] == self.cfg.eos_token_id:
+                self.prepends[i] = [toks[-1]] + self._stream_prompt_ids
+            elif toks:
+                self.prepends[i] = [toks[-1]]
+        t = o["t"]
+        if o["kind"] == "q":
+            entry = (f"(Video Time = {t}s) User: {o['q']}",
+                     f"(Video Time = {t}s) Assistant:{o['surfaced']}")
+        else:
+            entry = (None, f"(Video Time = {t}s) Assistant:{o['surfaced']}")
+        self._record_response_latency(i, o["kind"], t)
+        self._resp_out[i].append(entry)
+        self.transcripts[i].append(entry)
+
+    def _respond_segments(self):
+        """ONE batched continuation dispatch over every OPEN response: the
+        1-token prompt row is each stream's previous segment's last sampled
+        token (exactly what the unsegmented decode loop feeds), with
+        hist_valid=0 so spec history rings don't double-log it. Capacity
+        for the whole response budget was reserved by each response's
+        originating tick, so no guard runs here. One segment per step():
+        other streams' ingest interleaves between segments."""
+        mask = np.array([o is not None for o in self._open], bool)
+        if not mask.any():
+            return
+        P = TEXT_BUCKET
+        ids = np.zeros((self.N, P), np.int32)
+        nv = np.zeros((self.N,), np.int32)
+        for i in range(self.N):
+            if self._open[i] is not None:
+                ids[i, P - 1] = self._open[i]["toks"][-1]
+                nv[i] = 1
+        ids_d, nv_d, mask_d = self._dev_cached(
+            ("cont", ids.tobytes(), mask.tobytes()),
+            lambda: (jnp.asarray(ids), jnp.asarray(nv), jnp.asarray(mask)))
+        hv0 = self._dev_cached(
+            "hv0", lambda: jnp.zeros((self.N,), jnp.int32))
+        (packed, self.cache, self._hist, self._hcount,
+         self._sstats) = self._respond(
+            self.params, self.cache, ids_d, nv_d, mask_d,
+            self._hist, self._hcount, self._sstats, hv0)
+        packed = np.asarray(packed)  # ONE readback
+        for i in range(self.N):
+            if self._open[i] is None:
+                continue
+            self._host_offsets[i] = int(packed[i, 1])
+            toks = packed[i, 2:2 + int(packed[i, 0])].astype(np.int32)
+            self._extend_open(i, toks)
+
     def spec_stats(self) -> np.ndarray:
         """[verify_steps, emitted_tokens] accumulated across all streams'
         spec_decode responses (one device readback; call off the hot
@@ -984,6 +1174,11 @@ class MultiStreamEngine:
         while self._pipe:
             self._pipe_resolve()
         self._carry = None
+        # finish open token-streaming responses under the OLD weights (a
+        # mid-response weight swap would split one response across two
+        # models — the unsegmented engine can never be mid-response here)
+        while any(o is not None for o in self._open):
+            self._respond_segments()
         # cached prefix KV was computed under the OLD weights
         self._clear_prefix_cache()
         self.params = params
@@ -1017,9 +1212,11 @@ class MultiStreamEngine:
             "ticks": self._tick_hist.summary().get("tick", {}),
             # arrival->surface wall latency per response: "response" =
             # all streams pooled, "response_s<i>" = per stream (the
-            # p50/p99 SLO numbers; see _record_response_latency)
+            # p50/p99 SLO numbers; see _record_response_latency). With
+            # stream_tokens, "ttft"/"ttft_s<i>" = arrival->FIRST-text.
             "response_latency": self._resp_hist.summary(),
             "inflight_dispatches": len(self._pipe),
+            "open_responses": sum(o is not None for o in self._open),
         }
         if self.paged:
             tmpl_refs = self._template_refs()
@@ -1355,10 +1552,15 @@ class MultiStreamEngine:
             self._tick_hist.add("tick", _time.perf_counter() - t0)
 
     def _step_inner(self) -> List[Optional[Tuple[Optional[str], str]]]:
-        if not self.fused:
-            return self._step_unfused()
         if self.pipelined:
             return self._step_pipe()
+        if self.stream_tokens and any(o is not None for o in self._open):
+            # token streaming: ONE continuation segment per step for every
+            # open response, BEFORE ingest — partial text keeps flowing at
+            # tick cadence while the other streams' frames proceed
+            self._respond_segments()
+        if not self.fused:
+            return self._step_unfused()
         self._prefill_starts()
         coll = self._collect_tick()
         if coll == "fallback":
@@ -1390,7 +1592,8 @@ class MultiStreamEngine:
         active = np.zeros((self.N,), bool)
         frame_times = [None] * self.N
         for i in range(self.N):
-            if not self.frame_queues[i] or self._needs_prefill[i]:
+            if (not self.frame_queues[i] or self._needs_prefill[i]
+                    or self._open[i] is not None):
                 continue
             # a queued query earlier than the next frame answers first
             qq = self.query_queues[i]
@@ -1417,7 +1620,11 @@ class MultiStreamEngine:
             # stream; an overflow would silently clamp the ring write
             write_len = (TEXT_BUCKET + self.fnt if max_burst <= 1 else
                          TEXT_BUCKET + K * self.fnt + (K - 1) * itv)
-            budget = write_len + PROMPT_BUCKET + self.max_new
+            # resp_budget (not max_new): with token streaming the WHOLE
+            # response budget is reserved by the originating tick, so
+            # continuation segments need no guard of their own (the
+            # single-stream engine's invariant, engine._respond_continue)
+            budget = write_len + PROMPT_BUCKET + self.resp_budget
             if self.paged:
                 idxs = [i for i in range(self.N) if active[i]]
                 if not self._paged_admit(idxs, budget):
@@ -1514,7 +1721,8 @@ class MultiStreamEngine:
             # any) waits for the next tick, like the single-stream engine's
             # immediate return on fire.
             qq = self.query_queues[i]
-            if not fire[i] and qq and not self._needs_prefill[i] and (
+            if not fire[i] and qq and not self._needs_prefill[i] \
+                    and self._open[i] is None and (
                     (frame_times[i] is not None and frame_times[i] >= qq[0][0])
                     or (self.frame_queues[i]
                         and self.frame_queues[i][0][0] > qq[0][0])):
@@ -1542,11 +1750,12 @@ class MultiStreamEngine:
             for i, prompt in prompts.items():
                 ids[i, P - len(prompt):] = prompt
                 nv[i] = len(prompt)
+            nv_dev = jnp.asarray(nv)
             (packed, self.cache, self._hist, self._hcount,
              self._sstats) = self._respond(
-                self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
+                self.params, self.cache, jnp.asarray(ids), nv_dev,
                 jnp.asarray(respond_mask), self._hist, self._hcount,
-                self._sstats)
+                self._sstats, nv_dev)
             packed = np.asarray(packed)  # ONE readback
             lengths = packed[:, 0]
             self._host_offsets[:] = packed[:, 1]
@@ -1555,13 +1764,24 @@ class MultiStreamEngine:
                 if not respond_mask[i]:
                     continue
                 toks = out[i, :lengths[i]]
+                t = (respond_query[i][0] if respond_query[i] is not None
+                     else frame_times[i])
+                if self.stream_tokens:
+                    # token streaming: route through the open-response
+                    # machinery (first segment surfaces via on_delta; a
+                    # completed response lands in _resp_out and merges
+                    # into results below — same-tick surfacing)
+                    self._begin_open(
+                        i, "q" if respond_query[i] is not None else "f",
+                        t, respond_query[i][1]
+                        if respond_query[i] is not None else None)
+                    self._extend_open(i, toks.astype(np.int32))
+                    continue
                 if toks.size and toks[-1] == self.cfg.eos_token_id:
                     self.prepends[i] = ([int(toks[-1])]
                                         + self._stream_prompt_ids)
                 elif toks.size:
                     self.prepends[i] = [int(toks[-1])]
-                t = (respond_query[i][0] if respond_query[i] is not None
-                     else frame_times[i])
                 resp = self.tokenizer.decode(toks, skip_special_tokens=True)
                 q_str = (f"(Video Time = {t}s) User: {respond_query[i][1]}"
                          if respond_query[i] is not None else None)
@@ -1569,6 +1789,14 @@ class MultiStreamEngine:
                 self._record_response_latency(
                     i, "q" if respond_query[i] is not None else "f", t)
                 self.transcripts[i].append(results[i])
+        # surface queued entries FIFO (fused-tick leftovers + completed
+        # token-streaming responses); this tick's direct result queues
+        # behind older entries
+        for i in range(self.N):
+            if self._resp_out[i]:
+                if results[i] is not None:
+                    self._resp_out[i].append(results[i])
+                results[i] = self._resp_out[i].popleft()
         return results
 
     # ------------------------------------------------------- fused tick I/O
@@ -1590,7 +1818,9 @@ class MultiStreamEngine:
         q_nv = np.zeros((N,), np.int32)
         any_work = False
         for i in range(N):
-            if self._needs_prefill[i]:
+            # a stream with an OPEN token-streaming response ingests
+            # nothing until its continuation segments complete
+            if self._needs_prefill[i] or self._open[i] is not None:
                 continue
             fq, qq = self.frame_queues[i], self.query_queues[i]
             qt = qq[0][0] if qq else None
@@ -1634,8 +1864,10 @@ class MultiStreamEngine:
             q_nv[i] = len(prompt)
 
         itv = 1 if self.cfg.frame_token_interval_id is not None else 0
+        # resp_budget (not max_new): token-streaming continuation segments
+        # draw on the originating tick's reservation (no guard of their own)
         budget = (TEXT_BUCKET + K * self.fnt + (K - 1) * itv
-                  + R_TICK * (PROMPT_BUCKET + self.max_new))
+                  + R_TICK * (PROMPT_BUCKET + self.resp_budget))
         if self.paged:
             idxs = [i for i in range(N) if active[i] or force[i]]
             if not self._paged_admit(idxs, budget):
@@ -1746,16 +1978,29 @@ class MultiStreamEngine:
             times = [t for t, _ in coll["bursts"][i]]
             for r in range(n_resp):
                 toks = oids[r, :int(olen[r])].astype(np.int32)
-                resp = self.tokenizer.decode(toks, skip_special_tokens=True)
                 if okind[r]:
-                    qt, qs = coll["queries"][i]
-                    entry = (f"(Video Time = {qt}s) User: {qs}",
-                             f"(Video Time = {qt}s) Assistant:{resp}")
-                    self._record_response_latency(i, "q", qt)
+                    kind, t, q = "q", coll["queries"][i][0], \
+                        coll["queries"][i][1]
                 else:
-                    t = times[int(ofidx[r])]
+                    kind, t, q = "f", times[int(ofidx[r])], None
+                if self.stream_tokens:
+                    # token streaming: an in-tick response is the FIRST
+                    # segment. A full non-EOS segment froze the stream's
+                    # tick (device `unfin` stop) and stays open for
+                    # continuation dispatches; prep_after's device-side
+                    # prepend already handled COMPLETED responses, so
+                    # set_prepends=False (ingest may have continued past
+                    # them inside this very tick).
+                    self._begin_open(i, kind, t, q)
+                    self._extend_open(i, toks, set_prepends=False)
+                    continue
+                resp = self.tokenizer.decode(toks, skip_special_tokens=True)
+                if kind == "q":
+                    entry = (f"(Video Time = {t}s) User: {q}",
+                             f"(Video Time = {t}s) Assistant:{resp}")
+                else:
                     entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
-                    self._record_response_latency(i, "f", t)
+                self._record_response_latency(i, kind, t)
                 self._resp_out[i].append(entry)
                 self.transcripts[i].append(entry)
             if coll["queries"][i] is not None and answered \
@@ -1792,11 +2037,13 @@ class MultiStreamEngine:
         # pages for the fallback response (a subset of the admitted tick
         # budget after the stop_fire rewind, so this cannot fail)
         self._ensure_pages([i for i in range(N) if mask[i]],
-                           P + self.max_new)
+                           P + self.resp_budget)
+        nv_dev = jnp.asarray(nv)
         (rp, self.cache, self._hist, self._hcount,
          self._sstats) = self._respond(
-            self.params, self.cache, jnp.asarray(ids), jnp.asarray(nv),
-            jnp.asarray(mask), self._hist, self._hcount, self._sstats)
+            self.params, self.cache, jnp.asarray(ids), nv_dev,
+            jnp.asarray(mask), self._hist, self._hcount, self._sstats,
+            nv_dev)
         rp = np.asarray(rp)
         for i in range(N):
             if not mask[i]:
@@ -1804,12 +2051,18 @@ class MultiStreamEngine:
             lengths = int(rp[i, 0])
             self._host_offsets[i] = int(rp[i, 1])
             toks = rp[i, 2:2 + lengths].astype(np.int32)
+            consumed = int(packed[i][0])
+            t = [tt for tt, _ in coll["bursts"][i]][consumed - 1]
+            if self.stream_tokens:
+                # token streaming: the fallback response is a first
+                # segment like any other standalone respond
+                self._begin_open(i, "f", t, None)
+                self._extend_open(i, toks)
+                continue
             if toks.size and toks[-1] == self.cfg.eos_token_id:
                 self.prepends[i] = [int(toks[-1])] + self._stream_prompt_ids
             elif toks.size:
                 self.prepends[i] = [int(toks[-1])]
-            consumed = int(packed[i][0])
-            t = [tt for tt, _ in coll["bursts"][i]][consumed - 1]
             resp = self.tokenizer.decode(toks, skip_special_tokens=True)
             entry = (None, f"(Video Time = {t}s) Assistant:{resp}")
             self._record_response_latency(i, "f", t)
@@ -1936,6 +2189,9 @@ class MultiStreamEngine:
         while self._pipe:
             self._pipe_resolve()
         self._carry = None
+        # drain token-streaming continuations to completion
+        while any(o is not None for o in self._open):
+            self._respond_segments()
         out = [list(self._resp_out[i]) for i in range(self.N)]
         for i in range(self.N):
             self._resp_out[i].clear()
@@ -1945,6 +2201,7 @@ class MultiStreamEngine:
         return (any(q for q in self.frame_queues)
                 or any(q for q in self.query_queues)
                 or any(q for q in self._resp_out)
+                or any(o is not None for o in self._open)
                 or bool(self._pipe))
 
     def close_stream(self, i: int) -> List[Tuple[Optional[str], str]]:
@@ -1962,6 +2219,10 @@ class MultiStreamEngine:
         while self._pipe:
             self._pipe_resolve()
         self._carry = None
+        # an open token-streaming response must complete before its slot
+        # can be reused (its transcript entry belongs to THIS dialogue)
+        while self._open[i] is not None:
+            self._respond_segments()
         out = self.transcripts[i]
         self.transcripts[i] = []
         self.frame_queues[i].clear()
@@ -2018,6 +2279,9 @@ class MultiStreamEngine:
         while self._pipe:
             self._pipe_resolve()
         self._carry = None
+        # fork from a quiescent source: finish its open response first
+        while self._open[src] is not None:
+            self._respond_segments()
         off = int(self._host_offsets[src])
         full = off // self.page_size
         r = off % self.page_size

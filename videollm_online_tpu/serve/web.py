@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import threading
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
@@ -327,12 +328,40 @@ class MultiWebDemo:
         self._feats: Dict[int, np.ndarray] = {}
         self._fed: Dict[int, int] = {}
         self.messages: Dict[int, List[Dict[str, Any]]] = {}
+        # token-streaming engine (stream_tokens=S): per-slot partial
+        # bubbles grow from the engine's on_delta(slot, delta, done) while
+        # segments decode; the completed response's formatted entry swaps
+        # into its bubble when it surfaces (same contract as WebDemo, per
+        # slot). on_delta fires inside ms.step()/close_stream(), both of
+        # which run under self.lock — no extra locking needed.
+        self._partial: Dict[int, Optional[Dict[str, Any]]] = {}
+        self._done_bubbles: Dict[int, deque] = {}
+        self._streaming = bool(getattr(ms, "stream_tokens", None))
+        if self._streaming and getattr(ms, "on_delta", None) is None:
+            ms.on_delta = self._on_delta
+
+    def _on_delta(self, slot: int, delta: str, done: bool) -> None:
+        msgs = self.messages.setdefault(slot, [])
+        part = self._partial.get(slot)
+        if part is None:
+            part = {"role": "assistant", "text": "", "partial": True}
+            self._partial[slot] = part
+            msgs.append(part)
+        part["text"] += delta
+        if done:
+            part["partial"] = False
+            self._partial[slot] = None
+            # FIFO per slot: a stream has one open response at a time, so
+            # this bubble pairs with the slot's NEXT surfaced entry
+            self._done_bubbles.setdefault(slot, deque()).append(part)
 
     def load(self, sid: str, spec: Dict[str, Any]) -> int:
         with self.lock:
             if sid in self.sessions:
                 slot = self.sessions[sid]
-                self.ms.close_stream(slot)
+                self.ms.close_stream(slot)  # drains any open response
+                self._partial.pop(slot, None)
+                self._done_bubbles.pop(slot, None)
             else:
                 used = set(self.sessions.values())
                 free = [i for i in range(self.ms.N) if i not in used]
@@ -375,17 +404,34 @@ class MultiWebDemo:
                     continue
                 q, resp = r
                 msgs = self.messages.setdefault(i, [])
+                dq = self._done_bubbles.get(i)
+                part = dq.popleft() if dq else None
+                if part is not None:
+                    # streamed: the bubble already holds the raw text —
+                    # swap in the formatted entry, user line before it
+                    if q:
+                        msgs.insert(msgs.index(part),
+                                    {"role": "user", "text": q,
+                                     "time": video_time})
+                    part["text"] = resp
+                    part["time"] = video_time
+                    part.pop("partial", None)
+                    continue
                 if q:
                     msgs.append({"role": "user", "text": q,
                                  "time": video_time})
                 msgs.append({"role": "assistant", "text": resp,
                              "time": video_time})
-            return self.messages.get(slot, [])
+            # snapshot: other sessions' polls mutate these dicts (partial
+            # bubbles grow) while the handler serializes
+            return [dict(m) for m in self.messages.get(slot, [])]
 
     def close(self, sid: str) -> List[Dict[str, Any]]:
         with self.lock:
             slot = self.sessions.pop(sid)
-            self.ms.close_stream(slot)
+            self.ms.close_stream(slot)  # drains any open response
+            self._partial.pop(slot, None)
+            self._done_bubbles.pop(slot, None)
             self._feats.pop(slot, None)
             self._fed.pop(slot, None)
             return self.messages.pop(slot, [])
