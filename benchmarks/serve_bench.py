@@ -175,8 +175,10 @@ def main():
       # first text after S decoded tokens instead of the full budget —
       # arrival->first-delta vs arrival->complete-response, wall clock
       # (blocking engine; same gate-held + query-every-8 workload as
-      # bench.py engine mode)
-      if args.stream_tokens > 0:
+      # bench.py engine mode). Single-stream — skipped under --only_ms
+      # (at 16x8B the multistream pool needs the HBM this stage's ring
+      # would otherwise fragment).
+      if args.stream_tokens > 0 and not args.only_ms:
         from videollm_online_tpu.serve.engine import LiveInferEngine
 
         S = args.stream_tokens

@@ -521,6 +521,10 @@ def main(argv=None):
     p.add_argument("--multi", type=int, default=0,
                    help="N > 0: serve N concurrent browser sessions over "
                         "one MultiStreamEngine (continuous batching)")
+    p.add_argument("--stream_tokens", type=int, default=0,
+                   help="S > 0: token-streaming responses — partial "
+                        "assistant bubbles grow every S decoded tokens "
+                        "(single and --multi sessions)")
     args = p.parse_args(argv)
     from .cli import build_engine, build_model
 
@@ -534,20 +538,32 @@ def main(argv=None):
         kv_capacity = args.kv_capacity
         kv_quant = args.kv_quant
         seed = 0
+        stream_tokens = args.stream_tokens
 
+    S = args.stream_tokens or None
     if args.multi > 0:
         # build params/tokenizer only — a full LiveInferEngine would pin
         # an unused kv_capacity-sized single-stream cache in HBM
         from .multistream import MultiStreamEngine
         params, tok, cfg, vision_params = build_model(_A)
+        if S and cfg.max_response_tokens % S:
+            # round the budget up so segments tile it exactly (same
+            # adjustment cli.build_engine applies)
+            cfg = cfg.replace(max_response_tokens=-(
+                -cfg.max_response_tokens // S) * S)
         ms = MultiStreamEngine(params, tok, cfg,
                                num_streams=args.multi,
                                kv_capacity=args.kv_capacity,
                                kv_quant=args.kv_quant or None,
+                               stream_tokens=S,
                                vision_params=vision_params)
         httpd, _ = serve_multi(ms, cfg.frame_fps, port=args.port)
     else:
         engine, cfg = build_engine(_A)
+        if S:
+            # drop the CLI builder's terminal-print on_delta so WebDemo
+            # installs its partial-bubble hook instead
+            engine.on_delta = None
         httpd, _ = serve(engine, cfg.frame_fps, port=args.port)
     print(f"serving on http://127.0.0.1:{args.port}", flush=True)
     httpd.serve_forever()
