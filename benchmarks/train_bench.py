@@ -78,6 +78,12 @@ def main():
                     help="'' | int8 (default: int8 for 8b, '' otherwise)")
     ap.add_argument("--attrib", action="store_true",
                     help="decompose step time into fwd/bwd/optimizer")
+    ap.add_argument("--chunked_loss", default=None,
+                    choices=["0", "1"],
+                    help="stream the CE through LOSS_CHUNK-position lm_head "
+                         "chunks (default: on for full-vocab models at "
+                         "seq > 4096 — the (T,128256) f32 logits alone are "
+                         "~5.9 GiB at T=8192)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -99,6 +105,10 @@ def main():
     qbase = args.quantize_base
     if qbase is None:
         qbase = "int8" if args.model == "8b" else ""
+    if args.chunked_loss is None:
+        chunked = args.model != "tiny" and args.seq > 4096
+    else:
+        chunked = args.chunked_loss == "1"
 
     llama_cfg = LlamaConfig(**MODEL_SIZES[args.model], dtype="bfloat16")
     cfg = LiveConfig(llama=llama_cfg, lora=LoraConfig())
@@ -127,13 +137,14 @@ def main():
     tx = optim.make_optimizer(optim.OptimConfig(total_steps=1000))
     state, frozen = step_mod.init_train_state(params, tx)
     step = step_mod.make_jitted_train_step(cfg, tx, accum_steps=1,
-                                           attn_impl=auto_attention)
+                                           attn_impl=auto_attention,
+                                           chunked_loss=chunked)
 
     n_tr = optim.count_params(state.trainable)
     n_fr = optim.count_params(frozen)
     print(f"model={args.model} qbase={qbase or 'bf16'} seq={tokens} "
-          f"frames={n_frames} trainable={n_tr/1e6:.1f}M "
-          f"frozen={n_fr/1e6:.1f}M "
+          f"frames={n_frames} chunked_loss={int(chunked)} "
+          f"trainable={n_tr/1e6:.1f}M frozen={n_fr/1e6:.1f}M "
           f"param_bytes={quant.param_bytes(params)/2**30:.2f}GiB")
 
     # ---- full step --------------------------------------------------------
@@ -167,7 +178,8 @@ def main():
     def fwd_probe(trainable, frozen, batch, dropout: bool):
         loss = step_mod.loss_fn(trainable, frozen, cfg, batch,
                                 attn_impl=auto_attention,
-                                dropout_rng=drng if dropout else None)
+                                dropout_rng=drng if dropout else None,
+                                chunked_loss=chunked)
         return _fold(trainable, loss), loss
 
     import optax
@@ -176,7 +188,8 @@ def main():
     def grad_probe(trainable, frozen, batch, dropout: bool):
         loss, grads = jax.value_and_grad(step_mod.loss_fn)(
             trainable, frozen, cfg, batch, attn_impl=auto_attention,
-            dropout_rng=drng if dropout else None)
+            dropout_rng=drng if dropout else None,
+            chunked_loss=chunked)
         return _fold(trainable, optax.global_norm(grads)), loss
 
     def timed(fn, trainable, label, *extra):

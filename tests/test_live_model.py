@@ -108,6 +108,109 @@ def test_forward_loss_and_cache_paths():
     assert logits.shape[:2] == batch["input_ids"].shape
 
 
+def _loss_batch(cfg, tok):
+    from videollm_online_tpu.data.collator import collate
+    conv = [
+        {"role": "system", "content": "sys."},
+        {"role": "stream", "num_frames": 3, "learn": True},
+        {"role": "assistant", "content": "hello there", "learn": True},
+        {"role": "stream", "num_frames": 2, "learn": True},
+        {"role": "assistant", "content": "bye", "learn": True},
+    ]
+    frames = np.random.RandomState(0).randn(
+        5, cfg.frame_num_tokens, cfg.vision_hidden_size).astype(np.float32)
+    return collate([(tok.apply_chat_template(conv), frames,
+                     tok.get_learn_ranges(conv), 0, None)], tokenizer=tok)
+
+
+def test_chunked_loss_matches_unchunked(monkeypatch):
+    """chunked_loss=True streams the weighted CE through LOSS_CHUNK-position
+    lm_head chunks (training-memory path for 8B x T=8-12k on one chip) —
+    the loss VALUE must equal the unchunked stream_ce_loss path bit-for-
+    float32 (per-position math identical; only reduction associativity
+    differs). Chunk size forced below T to exercise multi-chunk + padding."""
+    cfg, tok = make_cfg()
+    cfg = cfg.replace(stream_loss_weight=2.5)
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    batch = _loss_batch(cfg, tok)
+    ids = jnp.asarray(batch["input_ids"])
+    frames = jnp.asarray(batch["frames"])
+    labels = jnp.asarray(batch["labels"])
+    from videollm_online_tpu.models import live as live_mod
+    monkeypatch.setattr(live_mod, "LOSS_CHUNK", 7)   # T % 7 != 0 -> padding
+
+    logits, ref_loss, _ = live.forward(params, cfg, input_ids=ids,
+                                       frames=frames, labels=labels)
+    none_logits, chunk_loss, _ = live.forward(params, cfg, input_ids=ids,
+                                              frames=frames, labels=labels,
+                                              chunked_loss=True)
+    assert none_logits is None
+    np.testing.assert_allclose(float(chunk_loss), float(ref_loss),
+                               rtol=2e-6)
+
+
+def test_chunked_loss_gradients_match(monkeypatch):
+    """LoRA/connector gradients through the chunked path equal the
+    unchunked path's (dropout off) — the jax.checkpoint + lax.map
+    restructuring must not change the math, only the memory profile."""
+    from videollm_online_tpu.models import live as live_mod
+    from videollm_online_tpu.train import optim, step as step_mod
+    cfg, tok = make_cfg()
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    # make LoRA contribute so its grads are nonzero
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    batch_np = _loss_batch(cfg, tok)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("input_ids", "frames", "labels")}
+    trainable, frozen = optim.split_trainable(params)
+    monkeypatch.setattr(live_mod, "LOSS_CHUNK", 5)
+
+    def grads(chunked):
+        return jax.value_and_grad(step_mod.loss_fn)(
+            trainable, frozen, cfg, batch, remat=False,
+            chunked_loss=chunked)
+
+    loss_ref, g_ref = grads(False)
+    loss_chk, g_chk = grads(True)
+    np.testing.assert_allclose(float(loss_chk), float(loss_ref), rtol=2e-6)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_chk = jax.tree.leaves(g_chk)
+    assert len(flat_ref) == len(flat_chk)
+    for a, b in zip(flat_ref, flat_chk):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_chunked_loss_with_dropout_finite_and_reproducible(monkeypatch):
+    """With LoRA dropout on, the chunked path draws per-chunk head masks
+    (documented divergence from the unchunked single draw): the loss is
+    finite, rng-reproducible, and differs across rngs."""
+    from videollm_online_tpu.models import live as live_mod
+    cfg, tok = make_cfg()
+    assert cfg.lora.dropout > 0.0
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    batch = _loss_batch(cfg, tok)
+    ids = jnp.asarray(batch["input_ids"])
+    frames = jnp.asarray(batch["frames"])
+    labels = jnp.asarray(batch["labels"])
+    monkeypatch.setattr(live_mod, "LOSS_CHUNK", 6)
+
+    def loss(rng):
+        _, l, _ = live.forward(params, cfg, input_ids=ids, frames=frames,
+                               labels=labels, dropout_rng=rng,
+                               chunked_loss=True)
+        return float(l)
+
+    l1 = loss(jax.random.PRNGKey(1))
+    l1b = loss(jax.random.PRNGKey(1))
+    l2 = loss(jax.random.PRNGKey(2))
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l1 == l1b
+    assert l1 != l2
+
+
 def test_lora_dropout_applied_in_training_only():
     """With a dropout rng, the LoRA branch input is dropped (PEFT
     lora_dropout=0.05, reference modeling_live.py:207); without an rng the

@@ -79,6 +79,14 @@ class LiveTrainingArguments:
     # forward numerics within int8 noise and gradients (LoRA/connector
     # only) flow through the dequantizing matmuls unchanged.
     quantize_base: str = ""       # '' | 'int8'
+    # Stream the weighted CE through LOSS_CHUNK-position lm_head chunks
+    # (models/live.py::_stream_ce_loss_chunked). Required to fit 8B
+    # full-vocab (128256) training at the reference's live1+ sequence
+    # lengths (T≈8-12k, data/stream.py:74-83) on one 16 GiB chip: the
+    # unchunked (T, V) f32 logits + log_softmax temporaries alone are
+    # ~5.9 GiB at T=8192. Loss value is identical (f32 per-position math;
+    # only the reduction associativity differs).
+    chunked_loss: bool = False
     # proxy model for smoke runs ('': use llm_pretrained weights)
     model_size: str = ""
 

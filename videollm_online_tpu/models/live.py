@@ -133,11 +133,22 @@ def forward(
     remat: bool = False,
     attn_impl=None,
     dropout_rng: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, Optional[jax.Array], Optional[KVCache]]:
+    chunked_loss: bool = False,
+) -> Tuple[Optional[jax.Array], Optional[jax.Array], Optional[KVCache]]:
     """Returns (logits, loss or None, updated cache or None).
 
     Loss = weighted CE per modeling_live_llama.py:56-61 (labels arrive
     pre-shifted from the collator, so logits[t] is scored against labels[t]).
+
+    ``chunked_loss=True`` (requires labels): the training-memory path —
+    the decoder returns final-norm HIDDEN states and the weighted CE
+    streams through LOSS_CHUNK-position lm_head chunks under
+    ``jax.checkpoint`` (backward recomputes each chunk's head matmul), so
+    the (T, vocab) f32 logits + log_softmax temporaries never exist at
+    once. At 8B/128256-vocab they are 3.9 + 2.0 GB for the reference's
+    T=8192 live1+ sequences — the difference between OOM and fitting on
+    one 16 GiB chip. Returns (None, loss, cache): per-position math is
+    identical (f32), only the reduction associativity differs.
     """
     if inputs_embeds is None:
         inputs_embeds = joint_embed(params, cfg, input_ids, frames)
@@ -145,6 +156,20 @@ def forward(
     scaling = cfg.lora.scaling if (cfg.lora is not None and lora is not None) else 1.0
     lora_dropout = (cfg.lora.dropout if (cfg.lora is not None
                                          and lora is not None) else 0.0)
+    if chunked_loss:
+        assert labels is not None, "chunked_loss requires labels"
+        hidden, new_cache = llama.forward(
+            params["llama"], cfg=cfg.llama, inputs_embeds=inputs_embeds,
+            kv_cache=kv_cache, num_valid=num_valid, lora=lora,
+            lora_scaling=scaling, remat=remat, attn_impl=attn_impl,
+            lora_dropout_rng=dropout_rng, lora_dropout=lora_dropout,
+            return_hidden=True,
+        )
+        loss = _stream_ce_loss_chunked(
+            params, cfg, hidden, labels, input_ids, lora=lora,
+            scaling=scaling, dropout_rng=dropout_rng,
+            drop_rate=lora_dropout)
+        return None, loss, new_cache
     logits, new_cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=inputs_embeds,
         kv_cache=kv_cache, num_valid=num_valid, lora=lora,
@@ -155,6 +180,78 @@ def forward(
     if labels is not None:
         loss = stream_ce_loss(logits, labels, input_ids, cfg)
     return logits, loss, new_cache
+
+
+# Chunk size (positions) for the streamed lm_head + CE. Peak live loss
+# memory ≈ 2 x LOSS_CHUNK x vocab f32 (logits + their cotangent during the
+# recompute) ≈ 1.0 GiB at 1024 x 128256 — vs 5.9 GiB unchunked at T=8192.
+LOSS_CHUNK = 1024
+
+
+def _stream_ce_loss_chunked(params: Params, cfg: LiveConfig,
+                            hidden: jax.Array, labels: jax.Array,
+                            input_ids: jax.Array, *,
+                            lora: Optional[Params] = None,
+                            scaling: float = 1.0,
+                            dropout_rng: Optional[jax.Array] = None,
+                            drop_rate: float = 0.0) -> jax.Array:
+    """stream_ce_loss streamed through LOSS_CHUNK-position lm_head chunks.
+
+    ``hidden`` is the decoder's final-norm output (B, T, D). Each chunk's
+    head matmul + log_softmax + weighted NLL runs under ``jax.checkpoint``
+    inside a ``lax.map``, so neither forward nor backward ever holds more
+    than one chunk's (C, V) logits. Per-position math is identical f32 to
+    :func:`stream_ce_loss`; only the reduction associativity differs.
+
+    lm_head LoRA dropout (when configured) draws the same head key the
+    unchunked path derives in ``llama.forward`` (split(num_layers+1)[-1])
+    and splits it per chunk — the realized mask differs from the unchunked
+    path's single (B, T, D) draw, which is fine for a stochastic
+    regularizer but means chunked-vs-unchunked equality tests must run
+    with dropout off.
+    """
+    assert input_ids is not None, "chunked loss requires input_ids"
+    B, T, D = hidden.shape
+    flat_h = hidden.reshape(-1, D)
+    flat_labels = labels.reshape(-1)
+    flat_ids = input_ids.reshape(-1)
+    valid = flat_labels != IGNORE_INDEX
+    weight = jnp.where(flat_ids == cfg.v_placeholder_id,
+                       cfg.stream_loss_weight, 1.0)
+    weight = jnp.where(valid, weight, 0.0).astype(jnp.float32)
+    safe_labels = jnp.where(valid, flat_labels, 0)
+
+    N = B * T
+    C = min(LOSS_CHUNK, N)
+    pad = (-N) % C
+    h_c = jnp.pad(flat_h, ((0, pad), (0, 0))).reshape(-1, C, D)
+    lab_c = jnp.pad(safe_labels, (0, pad)).reshape(-1, C)
+    w_c = jnp.pad(weight, (0, pad)).reshape(-1, C)  # pad weight 0 -> no-op
+    n_chunks = h_c.shape[0]
+
+    head_lora = (lora or {}).get("lm_head")
+    use_drop = (dropout_rng is not None and drop_rate > 0.0
+                and head_lora is not None)
+
+    def chunk_weighted_nll(hc, lc, wc, rng):
+        lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
+                           lora_scaling=scaling, drop_rng=rng,
+                           drop_rate=drop_rate if rng is not None else 0.0)
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, lc[:, None], axis=-1)[:, 0]
+        return (nll * wc).sum()
+
+    if use_drop:
+        head_rng = jax.random.split(dropout_rng,
+                                    cfg.llama.num_layers + 1)[-1]
+        chunk_rngs = jax.random.split(head_rng, n_chunks)
+        body = jax.checkpoint(lambda xs: chunk_weighted_nll(*xs))
+        sums = jax.lax.map(body, (h_c, lab_c, w_c, chunk_rngs))
+    else:
+        body = jax.checkpoint(
+            lambda xs: chunk_weighted_nll(xs[0], xs[1], xs[2], None))
+        sums = jax.lax.map(body, (h_c, lab_c, w_c))
+    return sums.sum() / jnp.maximum(valid.sum(), 1)
 
 
 def stream_ce_loss(logits: jax.Array, labels: jax.Array,

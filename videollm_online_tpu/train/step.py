@@ -38,7 +38,7 @@ def init_train_state(params: Dict[str, Any], tx: optax.GradientTransformation
 
 
 def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
-            attn_impl=None, dropout_rng=None):
+            attn_impl=None, dropout_rng=None, chunked_loss=False):
     params = optim.merge_params(trainable, frozen)
     _, loss, _ = live.forward(
         params, cfg,
@@ -48,13 +48,15 @@ def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
         remat=remat,
         attn_impl=attn_impl,
         dropout_rng=dropout_rng,
+        chunked_loss=chunked_loss,
     )
     return loss
 
 
 def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
                tx: optax.GradientTransformation, accum_steps: int = 1,
-               attn_impl=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
+               attn_impl=None,
+               chunked_loss: bool = False) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer step. With ``accum_steps > 1``, every array in ``batch``
     must carry a leading (accum_steps, ...) axis; gradients are averaged by a
     scan before the update.
@@ -74,7 +76,8 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
     def grads_of(b, rng):
         return jax.value_and_grad(loss_fn)(state.trainable, frozen, cfg, b,
                                            attn_impl=attn_impl,
-                                           dropout_rng=rng)
+                                           dropout_rng=rng,
+                                           chunked_loss=chunked_loss)
 
     if accum_steps == 1:
         loss, grads = grads_of(batch, step_rng)
@@ -104,11 +107,17 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
 
 
 def make_jitted_train_step(cfg: LiveConfig, tx, accum_steps: int = 1,
-                           attn_impl=None):
+                           attn_impl=None, chunked_loss: bool = False):
     """Jitted step; shard the inputs with :func:`shard_params` /
-    :func:`shard_batch` first and GSPMD propagates from argument shardings."""
+    :func:`shard_batch` first and GSPMD propagates from argument shardings.
+
+    ``chunked_loss`` streams the weighted CE through LOSS_CHUNK-position
+    lm_head chunks (see live._stream_ce_loss_chunked) — required to fit 8B
+    full-vocab training at the reference's live1+ sequence lengths (T≈8-12k)
+    on a single 16 GiB chip."""
     step = functools.partial(train_step, cfg=cfg, tx=tx,
-                             accum_steps=accum_steps, attn_impl=attn_impl)
+                             accum_steps=accum_steps, attn_impl=attn_impl,
+                             chunked_loss=chunked_loss)
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -88,11 +88,13 @@ class LiveTrainer:
             self._step = offload.make_offload_train_step(
                 cfg, self.tx,
                 accum_steps=args.gradient_accumulation_steps,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl,
+                chunked_loss=getattr(args, "chunked_loss", False))
         else:
             self._step = step_mod.make_jitted_train_step(
                 cfg, self.tx, accum_steps=args.gradient_accumulation_steps,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl,
+                chunked_loss=getattr(args, "chunked_loss", False))
 
     # ------------------------------------------------------------- training
     def _microbatch_stack(self, batches: List[dict]) -> dict:
