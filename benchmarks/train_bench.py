@@ -78,6 +78,33 @@ def main():
                     help="'' | int8 (default: int8 for 8b, '' otherwise)")
     ap.add_argument("--attrib", action="store_true",
                     help="decompose step time into fwd/bwd/optimizer")
+    ap.add_argument("--offload", action="store_true",
+                    help="host-offloaded optimizer moments "
+                         "(train/offload.py, the ZeRO-2-offload analog) — "
+                         "frees ~3 GiB of HBM for the 8B recipe; required "
+                         "to fit T=12288 on one 16 GiB chip (without it "
+                         "the step needs 17.11G, measured)")
+    ap.add_argument("--remat_group", type=int, default=1,
+                    help="checkpoint every N layers (nested grouped remat); "
+                         "2 shrinks the saved-activation buffer 2x for one "
+                         "extra fwd recompute — with --offload this fits "
+                         "8B x T=12288 on one chip")
+    ap.add_argument("--loss_chunk", type=int, default=0,
+                    help="chunk size override for chunked_loss (0 = "
+                         "live.LOSS_CHUNK=1024); measured not to move the "
+                         "8B x T=12288 fit (15.80G OOM at 1024 and 512 — "
+                         "saved activations dominate; --remat_group 2 is "
+                         "the knob that fits)")
+    ap.add_argument("--mlp_chunk", type=int, default=0,
+                    help="compute each layer's MLP in N-position sequence "
+                         "slices (exact; caps the bwd working set at one "
+                         "chunk's (N, intermediate) temps — "
+                         "LlamaConfig.mlp_chunk)")
+    ap.add_argument("--mu_dtype", default="",
+                    help="Adam first-moment dtype ('' = param dtype). "
+                         "No-op for the bf16 LoRA/connector trainables "
+                         "(moments are already bf16: bfloat16 reproduces "
+                         "the same 15.99G OOM at T=12288 rg=2)")
     ap.add_argument("--chunked_loss", default=None,
                     choices=["0", "1"],
                     help="stream the CE through LOSS_CHUNK-position lm_head "
@@ -110,7 +137,8 @@ def main():
     else:
         chunked = args.chunked_loss == "1"
 
-    llama_cfg = LlamaConfig(**MODEL_SIZES[args.model], dtype="bfloat16")
+    llama_cfg = LlamaConfig(**MODEL_SIZES[args.model], dtype="bfloat16",
+                            mlp_chunk=args.mlp_chunk)
     cfg = LiveConfig(llama=llama_cfg, lora=LoraConfig())
     tok = LiveTokenizer(ByteTokenizer(), cfg)
     cfg = tok.cfg
@@ -134,16 +162,31 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     tokens = args.seq
 
-    tx = optim.make_optimizer(optim.OptimConfig(total_steps=1000))
+    tx = optim.make_optimizer(optim.OptimConfig(total_steps=1000,
+                                                mu_dtype=args.mu_dtype))
     state, frozen = step_mod.init_train_state(params, tx)
-    step = step_mod.make_jitted_train_step(cfg, tx, accum_steps=1,
-                                           attn_impl=auto_attention,
-                                           chunked_loss=chunked)
+    lchunk = args.loss_chunk or None
+    if args.offload:
+        from videollm_online_tpu.train import offload
+        state = offload.offload_state(state)
+        step = offload.make_offload_train_step(cfg, tx, accum_steps=1,
+                                               attn_impl=auto_attention,
+                                               chunked_loss=chunked,
+                                               loss_chunk=lchunk,
+                                               remat_group=args.remat_group)
+    else:
+        step = step_mod.make_jitted_train_step(cfg, tx, accum_steps=1,
+                                               attn_impl=auto_attention,
+                                               chunked_loss=chunked,
+                                               loss_chunk=lchunk,
+                                               remat_group=args.remat_group)
 
     n_tr = optim.count_params(state.trainable)
     n_fr = optim.count_params(frozen)
     print(f"model={args.model} qbase={qbase or 'bf16'} seq={tokens} "
           f"frames={n_frames} chunked_loss={int(chunked)} "
+          f"offload={int(args.offload)} rg={args.remat_group} "
+          f"mu={args.mu_dtype or 'f32'} mlpc={args.mlp_chunk} "
           f"trainable={n_tr/1e6:.1f}M frozen={n_fr/1e6:.1f}M "
           f"param_bytes={quant.param_bytes(params)/2**30:.2f}GiB")
 
@@ -179,7 +222,8 @@ def main():
         loss = step_mod.loss_fn(trainable, frozen, cfg, batch,
                                 attn_impl=auto_attention,
                                 dropout_rng=drng if dropout else None,
-                                chunked_loss=chunked)
+                                chunked_loss=chunked, loss_chunk=lchunk,
+                                remat_group=args.remat_group)
         return _fold(trainable, loss), loss
 
     import optax
@@ -189,7 +233,8 @@ def main():
         loss, grads = jax.value_and_grad(step_mod.loss_fn)(
             trainable, frozen, cfg, batch, attn_impl=auto_attention,
             dropout_rng=drng if dropout else None,
-            chunked_loss=chunked)
+            chunked_loss=chunked, loss_chunk=lchunk,
+            remat_group=args.remat_group)
         return _fold(trainable, optax.global_norm(grads)), loss
 
     def timed(fn, trainable, label, *extra):

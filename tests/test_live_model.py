@@ -182,6 +182,58 @@ def test_chunked_loss_gradients_match(monkeypatch):
                                    rtol=3e-5, atol=3e-6)
 
 
+def test_remat_group_matches_per_layer_remat():
+    """Nested grouped remat (checkpoint every N layers, models/llama.py
+    forward) must not change the math — loss and LoRA/connector grads
+    equal the per-layer-remat path bitwise-close. The tiny config has 2
+    layers, so remat_group=2 exercises one full group."""
+    from videollm_online_tpu.train import optim, step as step_mod
+    cfg, tok = make_cfg()
+    assert cfg.llama.num_layers % 2 == 0
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    batch_np = _loss_batch(cfg, tok)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("input_ids", "frames", "labels")}
+    trainable, frozen = optim.split_trainable(params)
+
+    def grads(rg):
+        return jax.value_and_grad(step_mod.loss_fn)(
+            trainable, frozen, cfg, batch, remat=True, remat_group=rg)
+
+    loss_ref, g_ref = grads(1)
+    loss_grp, g_grp = grads(2)
+    np.testing.assert_allclose(float(loss_grp), float(loss_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_grp)):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_remat_group_with_dropout_deterministic():
+    """Per-layer dropout rngs must land on the SAME layers after the
+    group reshape: remat_group=2 with a dropout rng reproduces
+    remat_group=1 with the same rng exactly (same threefry splits, just
+    scanned in (G, inner) order)."""
+    cfg, tok = make_cfg()
+    assert cfg.lora.dropout > 0.0
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    batch = _loss_batch(cfg, tok)
+    ids = jnp.asarray(batch["input_ids"])
+    frames = jnp.asarray(batch["frames"])
+    labels = jnp.asarray(batch["labels"])
+    rng = jax.random.PRNGKey(7)
+
+    def loss(rg):
+        _, l, _ = live.forward(params, cfg, input_ids=ids, frames=frames,
+                               labels=labels, remat=True, dropout_rng=rng,
+                               remat_group=rg)
+        return float(l)
+
+    assert loss(2) == loss(1)
+
+
 def test_chunked_loss_with_dropout_finite_and_reproducible(monkeypatch):
     """With LoRA dropout on, the chunked path draws per-chunk head masks
     (documented divergence from the unchunked single draw): the loss is
@@ -238,3 +290,59 @@ def test_lora_dropout_applied_in_training_only():
     d1b, _, _ = live.forward(params, cfg, input_ids=ids,
                              dropout_rng=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+
+
+def test_mlp_chunk_matches_unchunked():
+    """cfg.llama.mlp_chunk (sequence-sliced SwiGLU) must be exact: loss
+    and trainable grads equal the unchunked path bitwise-close (the MLP
+    mixes only the feature axis, so slicing positions reassociates
+    nothing). Dropout off — with dropout on the chunked path draws
+    per-slice masks (documented divergence, llama._mlp_seq_chunked)."""
+    import dataclasses
+    from videollm_online_tpu.train import optim, step as step_mod
+    cfg, tok = make_cfg()
+    params = live.init_params(jax.random.PRNGKey(0), cfg)
+    params["lora"] = jax.tree.map(lambda x: x + 0.05, params["lora"])
+    batch_np = _loss_batch(cfg, tok)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("input_ids", "frames", "labels")}
+    trainable, frozen = optim.split_trainable(params)
+    T = batch["input_ids"].shape[1]
+    chunk = next(d for d in range(T // 2, 0, -1) if T % d == 0)
+
+    def grads(c):
+        cl = dataclasses.replace(cfg.llama, mlp_chunk=c)
+        return jax.value_and_grad(step_mod.loss_fn)(
+            trainable, frozen, dataclasses.replace(cfg, llama=cl), batch)
+
+    loss_ref, g_ref = grads(0)
+    loss_chk, g_chk = grads(chunk)
+    np.testing.assert_allclose(float(loss_chk), float(loss_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_chk)):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_mlp_chunk_with_dropout_runs():
+    """mlp_chunk + LoRA dropout: per-slice mask draws must produce a
+    finite, reproducible loss (same rng -> same loss)."""
+    import dataclasses
+    cfg, tok = make_cfg()
+    assert cfg.lora.dropout > 0.0
+    cl = dataclasses.replace(cfg.llama, mlp_chunk=2)
+    cfgc = dataclasses.replace(cfg, llama=cl)
+    params = live.init_params(jax.random.PRNGKey(0), cfgc)
+    batch = _loss_batch(cfg, tok)
+    ids = jnp.asarray(batch["input_ids"])
+    frames = jnp.asarray(batch["frames"])
+    labels = jnp.asarray(batch["labels"])
+    rng = jax.random.PRNGKey(11)
+
+    def loss():
+        _, l, _ = live.forward(params, cfgc, input_ids=ids, frames=frames,
+                               labels=labels, remat=True, dropout_rng=rng)
+        return float(l)
+
+    l1, l2 = loss(), loss()
+    assert np.isfinite(l1) and l1 == l2

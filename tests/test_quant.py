@@ -209,3 +209,51 @@ def test_int4c_forward_close():
     got = np.asarray(got, np.float32)
     assert np.argmax(ref[0, -1]) == np.argmax(got[0, -1]) or \
         np.corrcoef(ref[0, -1], got[0, -1])[0, 1] > 0.98
+
+
+def test_tiled_matmul_bit_identical():
+    """Column-tiled int8 matmul == untiled, bitwise: tiling over OUTPUT
+    columns never reassociates the contraction. (The tiled path exists to
+    defeat XLA's LICM hoisting the dequantized head out of lax.map loops
+    — 1002M at 8B; quant.quantized_matmul_tiled docstring.)"""
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 512).astype(np.float32)
+    qw = quant.quantize_weight(jnp.asarray(w))
+    x = jnp.asarray(rng.randn(8, 64).astype(np.float32)).astype(jnp.bfloat16)
+    ref = quant.quantized_matmul(x, qw)
+    for tile in (128, 256):
+        out = quant.quantized_matmul_tiled(x, qw, tile)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
+def test_head_tile_cols():
+    assert quant.head_tile_cols(128256) == 21376       # Llama-3 vocab
+    assert 128256 % quant.head_tile_cols(128256) == 0
+    assert quant.head_tile_cols(1024) is None          # already small
+    v = quant.head_tile_cols(151936)                   # Qwen2 vocab
+    assert v is not None and 151936 % v == 0 and v % 128 == 0
+
+
+def test_lm_head_tiled_matches_untiled():
+    """llama.lm_head(tile_cols=...) == untiled on a quantized tiny model,
+    including the LoRA branch."""
+    from videollm_online_tpu.models import llama
+    cfg, tok, params = _setup()
+    qllama = quant.quantize_llama_params(params["llama"])
+    lora = llama.init_lora_params(jax.random.PRNGKey(3), cfg.llama, cfg.lora)
+    h = jnp.asarray(np.random.RandomState(1).randn(
+        4, cfg.llama.hidden_size).astype(np.float32)).astype(jnp.bfloat16)
+    ref = llama.lm_head(qllama, h, cfg.llama, lora=lora,
+                        lora_scaling=cfg.lora.scaling)
+    V = cfg.llama.vocab_size
+    tile = V // 2 if V % 2 == 0 else None
+    if tile is None or tile % 128:
+        tile = 128  # fall back: any divisor works for the equality check
+        if V % tile:
+            import pytest
+            pytest.skip("tiny vocab not 128-divisible")
+    out = llama.lm_head(qllama, h, cfg.llama, lora=lora,
+                        lora_scaling=cfg.lora.scaling, tile_cols=tile)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))

@@ -87,6 +87,21 @@ class LiveTrainingArguments:
     # ~5.9 GiB at T=8192. Loss value is identical (f32 per-position math;
     # only the reduction associativity differs).
     chunked_loss: bool = False
+    # chunk size override for chunked_loss (0 = models/live.py LOSS_CHUNK,
+    # 1024). Measured NOT to move the 8B x T=12288 fit boundary (offload
+    # alone OOMs at 15.80G with chunk 1024 AND 512 — saved decoder
+    # activations dominate, not the loss chunk); kept as a tuning knob.
+    loss_chunk: int = 0
+    # nested grouped remat: checkpoint every N layers instead of every
+    # layer (models/llama.py forward). Program-lifetime activation
+    # residuals shrink N-fold for one extra forward recompute — with
+    # offload_optimizer this is what fits 8B x T=12288 (1,111 frames, the
+    # reference's live1+ max shape) on one 16 GiB chip.
+    remat_group: int = 1
+    # compute each layer's MLP in mlp_chunk-position sequence slices
+    # (exact; LlamaConfig.mlp_chunk has the memory analysis). 3072 + rg=2
+    # is the measured no-offload fit recipe for 8B x T=12288.
+    mlp_chunk: int = 0
     # proxy model for smoke runs ('': use llm_pretrained weights)
     model_size: str = ""
 

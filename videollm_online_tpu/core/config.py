@@ -39,6 +39,15 @@ class LlamaConfig:
     attention_bias: bool = False
     # numerics policy: parameters/activations bf16, softmax/norm/loss fp32
     dtype: str = "bfloat16"
+    # Long-sequence TRAINING memory knob: compute each layer's SwiGLU MLP
+    # in (B, mlp_chunk, D) sequence slices (exact — the MLP is pointwise
+    # across positions) so the backward's (S, intermediate) working set
+    # caps at one chunk. 0 = off. At 8B x T=12288 the unchunked MLP
+    # backward holds ~6 bf16 (12288, 14336) temps (336M each) and is what
+    # keeps the step from fitting on one 16 GiB chip (llama._layer). Only
+    # applies when S is a multiple of mlp_chunk and S > mlp_chunk, so
+    # serving decode/prefill shapes are unaffected.
+    mlp_chunk: int = 0
 
     @property
     def q_dim(self) -> int:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LiveConfig
-from ..models import live, llama
+from ..models import live, llama, quant
 
 IGNORE = -100
 
@@ -55,10 +55,14 @@ def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
     h_c = jnp.pad(h, ((0, pad), (0, 0))).reshape(-1, C, h.shape[1])
     lab_c = jnp.pad(lab, (0, pad)).reshape(-1, C)
 
+    # column-tile an int8 head inside the map (quant.quantized_matmul_tiled)
+    tile_cols = quant.head_tile_cols(cfg.llama.vocab_size)
+
     def chunk_stats(args):
         hc, lc = args
         lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
-                           lora_scaling=scaling).astype(jnp.float32)
+                           lora_scaling=scaling,
+                           tile_cols=tile_cols).astype(jnp.float32)
         logp = jax.nn.log_softmax(lg, axis=-1)
         nll = -jnp.take_along_axis(logp, lc[:, None], axis=-1)[:, 0]
         argmax = jnp.argmax(lg, axis=-1)
@@ -91,9 +95,12 @@ def _rollforward_stats(params, cfg: LiveConfig, cache, append_ids,
     pad = (-T) % C
     h_c = jnp.pad(h, ((0, pad), (0, 0))).reshape(-1, C, h.shape[1])
 
+    tile_cols = quant.head_tile_cols(cfg.llama.vocab_size)
+
     def chunk_stats(hc):
         lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
-                           lora_scaling=scaling).astype(jnp.float32)
+                           lora_scaling=scaling,
+                           tile_cols=tile_cols).astype(jnp.float32)
         logp = jax.nn.log_softmax(lg, axis=-1)
         argmax = jnp.argmax(lg, axis=-1)
         argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf),

@@ -42,6 +42,10 @@ def build_model_and_tokenizer(
         cfg = cfg.replace(llama=llama_cfg)
     elif args.bf16:
         cfg = cfg.replace(llama=cfg.llama)
+    if getattr(args, "mlp_chunk", 0):
+        import dataclasses
+        cfg = cfg.replace(llama=dataclasses.replace(
+            cfg.llama, mlp_chunk=args.mlp_chunk))
     if not is_training:
         pass  # LoRA stays attached; adapter restore below
 

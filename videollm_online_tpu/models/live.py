@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import LiveConfig
 from . import llama
+from . import quant as quant_mod
 from .llama import KVCache
 
 Params = Dict[str, Any]
@@ -134,6 +135,8 @@ def forward(
     attn_impl=None,
     dropout_rng: Optional[jax.Array] = None,
     chunked_loss: bool = False,
+    loss_chunk: Optional[int] = None,
+    remat_group: int = 1,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array], Optional[KVCache]]:
     """Returns (logits, loss or None, updated cache or None).
 
@@ -163,18 +166,19 @@ def forward(
             kv_cache=kv_cache, num_valid=num_valid, lora=lora,
             lora_scaling=scaling, remat=remat, attn_impl=attn_impl,
             lora_dropout_rng=dropout_rng, lora_dropout=lora_dropout,
-            return_hidden=True,
+            return_hidden=True, remat_group=remat_group,
         )
         loss = _stream_ce_loss_chunked(
             params, cfg, hidden, labels, input_ids, lora=lora,
             scaling=scaling, dropout_rng=dropout_rng,
-            drop_rate=lora_dropout)
+            drop_rate=lora_dropout, loss_chunk=loss_chunk)
         return None, loss, new_cache
     logits, new_cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=inputs_embeds,
         kv_cache=kv_cache, num_valid=num_valid, lora=lora,
         lora_scaling=scaling, remat=remat, attn_impl=attn_impl,
         lora_dropout_rng=dropout_rng, lora_dropout=lora_dropout,
+        remat_group=remat_group,
     )
     loss = None
     if labels is not None:
@@ -194,7 +198,8 @@ def _stream_ce_loss_chunked(params: Params, cfg: LiveConfig,
                             lora: Optional[Params] = None,
                             scaling: float = 1.0,
                             dropout_rng: Optional[jax.Array] = None,
-                            drop_rate: float = 0.0) -> jax.Array:
+                            drop_rate: float = 0.0,
+                            loss_chunk: Optional[int] = None) -> jax.Array:
     """stream_ce_loss streamed through LOSS_CHUNK-position lm_head chunks.
 
     ``hidden`` is the decoder's final-norm output (B, T, D). Each chunk's
@@ -222,7 +227,7 @@ def _stream_ce_loss_chunked(params: Params, cfg: LiveConfig,
     safe_labels = jnp.where(valid, flat_labels, 0)
 
     N = B * T
-    C = min(LOSS_CHUNK, N)
+    C = min(loss_chunk or LOSS_CHUNK, N)
     pad = (-N) % C
     h_c = jnp.pad(flat_h, ((0, pad), (0, 0))).reshape(-1, C, D)
     lab_c = jnp.pad(safe_labels, (0, pad)).reshape(-1, C)
@@ -233,10 +238,15 @@ def _stream_ce_loss_chunked(params: Params, cfg: LiveConfig,
     use_drop = (dropout_rng is not None and drop_rate > 0.0
                 and head_lora is not None)
 
+    # column-tile an int8 head so its dequant stays inside the map (the
+    # hoisted full bf16 head was 1002M at 8B — quant.quantized_matmul_tiled)
+    tile_cols = quant_mod.head_tile_cols(cfg.llama.vocab_size)
+
     def chunk_weighted_nll(hc, lc, wc, rng):
         lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
                            lora_scaling=scaling, drop_rng=rng,
-                           drop_rate=drop_rate if rng is not None else 0.0)
+                           drop_rate=drop_rate if rng is not None else 0.0,
+                           tile_cols=tile_cols)
         logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, lc[:, None], axis=-1)[:, 0]
         return (nll * wc).sum()

@@ -113,10 +113,16 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def dense(x: jax.Array, w, lora: Optional[Dict] = None,
           scaling: float = 1.0, drop_rng: Optional[jax.Array] = None,
-          drop_rate: float = 0.0) -> jax.Array:
+          drop_rate: float = 0.0,
+          tile_cols: Optional[int] = None) -> jax.Array:
     if isinstance(w, dict):  # weight-only int8 (models/quant.py)
-        from .quant import quantized_matmul
-        y = quantized_matmul(x, w)
+        from .quant import QUANT_KEY, quantized_matmul, quantized_matmul_tiled
+        if tile_cols is not None and QUANT_KEY in w:
+            # column-tiled path for huge-V matmuls inside loops (defeats
+            # XLA's hoist of the dequant; see quantized_matmul_tiled)
+            y = quantized_matmul_tiled(x, w, tile_cols)
+        else:
+            y = quantized_matmul(x, w)
     else:
         y = x @ w
     if lora is not None:
@@ -559,11 +565,58 @@ def _layer(h, layer_params, layer_lora, cos, sin, q_pos, kv_ctx, cfg,
         # int4 additionally dequantizes nibbles in-registers, which XLA
         # cannot fuse — it materializes the unpacked operand)
         h = h + fused.astype(h.dtype)
+    elif (cfg.mlp_chunk and S > cfg.mlp_chunk
+          and S % cfg.mlp_chunk == 0):
+        h = h + _mlp_seq_chunked(x, layer_params, lget, lora_scaling,
+                                 rngs, lora_dropout, cfg.mlp_chunk)
     else:
         gate = dns(x, "w_gate")
         up = dns(x, "w_up")
         h = h + dns(jax.nn.silu(gate) * up, "w_down")
     return h, new_kv
+
+
+def _mlp_seq_chunked(x, layer_params, lget, lora_scaling, rngs,
+                     lora_dropout, chunk: int):
+    """SwiGLU MLP over (B, chunk, D) sequence slices (cfg.mlp_chunk).
+
+    Exact for the math — the MLP mixes only the feature axis — but caps
+    the training backward's working set at ONE chunk's (chunk,
+    intermediate) temps instead of ~6 full (S, intermediate) buffers
+    (336M each at 8B T=12288; the allocation dump behind the fit). Each
+    slice body is checkpointed so the outer lax.map's backward saves only
+    the (S, D) input. With LoRA dropout on, mask draws are per-chunk
+    (split per slice) — a different realization than the unchunked single
+    draw, same distribution (same documented divergence as the chunked
+    CE loss, live._stream_ce_loss_chunked)."""
+    B, S, D = x.shape
+    n = S // chunk
+    names = ("w_gate", "w_up", "w_down")
+    use_drop = lora_dropout > 0.0 and any(rngs.get(nm) is not None
+                                          for nm in names)
+    if use_drop:
+        chunk_rngs = jnp.stack(
+            [jnp.stack(jax.random.split(rngs[nm], n)) for nm in names],
+            axis=1)  # (n, 3, key)
+    else:
+        chunk_rngs = jnp.zeros((n, 0), jnp.uint32)
+
+    @jax.checkpoint
+    def slice_body(args):
+        xc, rngs_c = args
+
+        def dnsl(xx, nm, i):
+            return dense(xx, layer_params[nm], lget(nm), lora_scaling,
+                         drop_rng=rngs_c[i] if use_drop else None,
+                         drop_rate=lora_dropout if use_drop else 0.0)
+
+        gate = dnsl(xc, "w_gate", 0)
+        up = dnsl(xc, "w_up", 1)
+        return dnsl(jax.nn.silu(gate) * up, "w_down", 2)
+
+    x_c = x.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
+    out = jax.lax.map(slice_body, (x_c, chunk_rngs))
+    return out.transpose(1, 0, 2, 3).reshape(B, S, D)
 
 
 def forward(
@@ -584,6 +637,7 @@ def forward(
     logit_gather_positions: Optional[jax.Array] = None,
     lora_dropout_rng: Optional[jax.Array] = None,
     lora_dropout: float = 0.0,
+    remat_group: int = 1,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder.
 
@@ -679,10 +733,32 @@ def forward(
                           lora_dropout=lora_dropout if use_dropout else 0.0)
             return h, None
 
-        if remat:
-            body = jax.checkpoint(body)
-        h, _ = jax.lax.scan(body, h,
-                            (params["layers"], layer_lora, layer_rngs))
+        if remat and remat_group > 1 and cfg.num_layers % remat_group == 0:
+            # Nested grouped remat: an outer scan over layer GROUPS whose
+            # checkpointed body scans over the group's layers (each layer
+            # itself checkpointed). Program-lifetime residuals drop from
+            # num_layers x (B,S,D) to (num_layers/remat_group) x (B,S,D) —
+            # the dominant training-memory term at long T (measured: the
+            # bf16[32,1,12288,4096] saved-h buffer is 3.00 GiB of the
+            # 15.80G OOM at 8B T=12288) — for one extra forward recompute
+            # in the backward (fwd runs 3x total instead of 2x).
+            G = remat_group
+            grouped = jax.tree.map(
+                lambda x: x.reshape((cfg.num_layers // G, G) + x.shape[1:]),
+                (params["layers"], layer_lora, layer_rngs))
+            inner = jax.checkpoint(body)
+
+            @jax.checkpoint
+            def group_body(h, xs):
+                h, _ = jax.lax.scan(inner, h, xs)
+                return h, None
+
+            h, _ = jax.lax.scan(group_body, h, grouped)
+        else:
+            if remat:
+                body = jax.checkpoint(body)
+            h, _ = jax.lax.scan(body, h,
+                                (params["layers"], layer_lora, layer_rngs))
         new_kvs = None
 
     if logit_gather_positions is not None:
@@ -735,7 +811,14 @@ def embed_tokens(params: Params, input_ids: jax.Array, cfg: LlamaConfig) -> jax.
 def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
             lora: Optional[Params] = None, lora_scaling: float = 1.0,
             drop_rng: Optional[jax.Array] = None,
-            drop_rate: float = 0.0) -> jax.Array:
+            drop_rate: float = 0.0,
+            tile_cols: Optional[int] = None) -> jax.Array:
+    """``tile_cols``: when the head is applied INSIDE a lax.map/scan body
+    (the chunked CE loss, the eval chunked stats), pass
+    ``quant.head_tile_cols(V)`` so an int8 head's dequant is column-tiled
+    — otherwise XLA's LICM hoists the full (D, V) bf16 dequantized weight
+    out of the loop (measured 1002M at 8B; quant.quantized_matmul_tiled
+    has the full finding). Bit-identical output; no-op for bf16 heads."""
     if cfg.tie_word_embeddings:
         assert not isinstance(params["embed"], dict), (
             "tied embeddings are not supported with int8 weights")
@@ -744,4 +827,4 @@ def lm_head(params: Params, h: jax.Array, cfg: LlamaConfig, *,
         w = params["lm_head"]
     head_lora = (lora or {}).get("lm_head")
     return dense(h, w, head_lora, lora_scaling, drop_rng=drop_rng,
-                 drop_rate=drop_rate)
+                 drop_rate=drop_rate, tile_cols=tile_cols)

@@ -29,7 +29,7 @@ per step, not a streaming bottleneck — and nibble-gathers lower poorly)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -190,6 +190,51 @@ def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     w = qw[QUANT_KEY].astype(x.dtype)
     y = x @ w
     return y * qw["scale"].astype(x.dtype)
+
+
+def head_tile_cols(v: int, max_tile: int = 32768) -> Optional[int]:
+    """Largest lane-aligned (multiple-of-128) divisor of ``v`` that is
+    <= ``max_tile`` — the column-tile width for :func:`quantized_matmul`'s
+    ``tile_cols`` path (None if ``v`` itself already fits). For Llama-3's
+    V=128256 this is 21376 (6 tiles)."""
+    if v <= max_tile:
+        return None
+    best = None
+    for d in range(128, max_tile + 1, 128):
+        if v % d == 0:
+            best = d
+    return best
+
+
+def quantized_matmul_tiled(x: jax.Array, qw: Dict[str, jax.Array],
+                           tile_cols: int) -> jax.Array:
+    """int8 ``quantized_matmul`` as a scan over output-column tiles.
+
+    Inside a ``lax.map``/``lax.scan``/``while_loop`` body the plain int8
+    path's loop-invariant s8->bf16 dequant gets hoisted by XLA's LICM and
+    the FULL dequantized weight stays live for the loop's lifetime —
+    measured 1002M for the 8B (4096, 128256) lm_head in the T=12288
+    training OOM dump (and ``jax.lax.optimization_barrier`` does NOT
+    block the hoist — measured: identical 15.99G OOM with the weight
+    pinned). Slicing the weight by a loop-carried column index makes the
+    convert operand loop-VARIANT — the same reason the per-layer scan
+    never hoists its weights — so peak extra memory is ONE (in, tile)
+    bf16 tile and the HBM read stays int8-sized. Column tiling does not
+    change the contraction: each output column still reduces over the
+    full ``in`` axis, so results are bit-identical to the untiled path.
+    """
+    w8, scale = qw[QUANT_KEY], qw["scale"]
+    v = w8.shape[-1]
+    assert v % tile_cols == 0, (v, tile_cols)
+
+    def tile(i):
+        wt = jax.lax.dynamic_slice_in_dim(w8, i * tile_cols, tile_cols, -1)
+        st = jax.lax.dynamic_slice_in_dim(scale, i * tile_cols, tile_cols,
+                                          -1)
+        return (x @ wt.astype(x.dtype)) * st.astype(x.dtype)
+
+    tiles = jax.lax.map(tile, jnp.arange(v // tile_cols))  # (n, ..., tile)
+    return jnp.moveaxis(tiles, 0, -2).reshape(*x.shape[:-1], v)
 
 
 # int4 serving layout (round 3, measured): column-packed int4 (q4c) for the

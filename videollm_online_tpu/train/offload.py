@@ -83,7 +83,9 @@ def supports_in_step_offload() -> bool:
 
 def make_offload_train_step(cfg, tx, accum_steps: int = 1, attn_impl=None,
                             in_step: Optional[bool] = None,
-                            chunked_loss: bool = False):
+                            chunked_loss: bool = False,
+                            loss_chunk: Optional[int] = None,
+                            remat_group: int = 1):
     """A drop-in replacement for :func:`step.make_jitted_train_step` whose
     optimizer state lives in pinned host memory between steps. The state
     passed in must already be host-resident (:func:`offload_state`)."""
@@ -98,7 +100,8 @@ def make_offload_train_step(cfg, tx, accum_steps: int = 1, attn_impl=None,
             state, metrics = step_mod.train_step(
                 state, frozen, batch, cfg=cfg, tx=tx,
                 accum_steps=accum_steps, attn_impl=attn_impl,
-                chunked_loss=chunked_loss)
+                chunked_loss=chunked_loss, loss_chunk=loss_chunk,
+                remat_group=remat_group)
             state = state._replace(
                 opt_state=jax.device_put(state.opt_state,
                                          jax.memory.Space.Host))
@@ -109,7 +112,9 @@ def make_offload_train_step(cfg, tx, accum_steps: int = 1, attn_impl=None,
     base = step_mod.make_jitted_train_step(cfg, tx,
                                            accum_steps=accum_steps,
                                            attn_impl=attn_impl,
-                                           chunked_loss=chunked_loss)
+                                           chunked_loss=chunked_loss,
+                                           loss_chunk=loss_chunk,
+                                           remat_group=remat_group)
 
     def boundary(state, frozen, batch):
         state = state._replace(opt_state=to_device(state.opt_state))

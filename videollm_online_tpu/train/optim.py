@@ -25,6 +25,12 @@ class OptimConfig(NamedTuple):
     eps: float = 1e-8
     max_grad_norm: float = 1.0
     schedule: str = "cosine"  # or "constant"
+    # Adam first-moment dtype ('' = follow the param dtype, optax default).
+    # NOTE: trainables (LoRA/connector) are bf16, so mu AND nu are already
+    # bf16 by default — measured: --mu_dtype bfloat16 reproduces the exact
+    # same 15.99G OOM at 8B x T=12288 rg=2 (train_bench), i.e. moment
+    # memory is NOT the fit boundary there. Kept for f32-trainable setups.
+    mu_dtype: str = ""
 
 
 def make_schedule(cfg: OptimConfig):
@@ -43,7 +49,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(make_schedule(cfg), b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-                    weight_decay=cfg.weight_decay),
+                    weight_decay=cfg.weight_decay,
+                    mu_dtype=cfg.mu_dtype or None),
     )
 
 

@@ -38,7 +38,8 @@ def init_train_state(params: Dict[str, Any], tx: optax.GradientTransformation
 
 
 def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
-            attn_impl=None, dropout_rng=None, chunked_loss=False):
+            attn_impl=None, dropout_rng=None, chunked_loss=False,
+            loss_chunk=None, remat_group=1):
     params = optim.merge_params(trainable, frozen)
     _, loss, _ = live.forward(
         params, cfg,
@@ -49,14 +50,17 @@ def loss_fn(trainable, frozen, cfg: LiveConfig, batch, *, remat=True,
         attn_impl=attn_impl,
         dropout_rng=dropout_rng,
         chunked_loss=chunked_loss,
+        loss_chunk=loss_chunk,
+        remat_group=remat_group,
     )
     return loss
 
 
 def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
                tx: optax.GradientTransformation, accum_steps: int = 1,
-               attn_impl=None,
-               chunked_loss: bool = False) -> Tuple[TrainState, Dict[str, jax.Array]]:
+               attn_impl=None, chunked_loss: bool = False,
+               loss_chunk=None,
+               remat_group: int = 1) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer step. With ``accum_steps > 1``, every array in ``batch``
     must carry a leading (accum_steps, ...) axis; gradients are averaged by a
     scan before the update.
@@ -77,7 +81,9 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
         return jax.value_and_grad(loss_fn)(state.trainable, frozen, cfg, b,
                                            attn_impl=attn_impl,
                                            dropout_rng=rng,
-                                           chunked_loss=chunked_loss)
+                                           chunked_loss=chunked_loss,
+                                           loss_chunk=loss_chunk,
+                                           remat_group=remat_group)
 
     if accum_steps == 1:
         loss, grads = grads_of(batch, step_rng)
@@ -107,7 +113,8 @@ def train_step(state: TrainState, frozen, batch, *, cfg: LiveConfig,
 
 
 def make_jitted_train_step(cfg: LiveConfig, tx, accum_steps: int = 1,
-                           attn_impl=None, chunked_loss: bool = False):
+                           attn_impl=None, chunked_loss: bool = False,
+                           loss_chunk=None, remat_group: int = 1):
     """Jitted step; shard the inputs with :func:`shard_params` /
     :func:`shard_batch` first and GSPMD propagates from argument shardings.
 
@@ -117,7 +124,8 @@ def make_jitted_train_step(cfg: LiveConfig, tx, accum_steps: int = 1,
     on a single 16 GiB chip."""
     step = functools.partial(train_step, cfg=cfg, tx=tx,
                              accum_steps=accum_steps, attn_impl=attn_impl,
-                             chunked_loss=chunked_loss)
+                             chunked_loss=chunked_loss,
+                             loss_chunk=loss_chunk, remat_group=remat_group)
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -89,12 +89,16 @@ class LiveTrainer:
                 cfg, self.tx,
                 accum_steps=args.gradient_accumulation_steps,
                 attn_impl=attn_impl,
-                chunked_loss=getattr(args, "chunked_loss", False))
+                chunked_loss=getattr(args, "chunked_loss", False),
+                loss_chunk=getattr(args, "loss_chunk", 0) or None,
+                remat_group=getattr(args, "remat_group", 1))
         else:
             self._step = step_mod.make_jitted_train_step(
                 cfg, self.tx, accum_steps=args.gradient_accumulation_steps,
                 attn_impl=attn_impl,
-                chunked_loss=getattr(args, "chunked_loss", False))
+                chunked_loss=getattr(args, "chunked_loss", False),
+                loss_chunk=getattr(args, "loss_chunk", 0) or None,
+                remat_group=getattr(args, "remat_group", 1))
 
     # ------------------------------------------------------------- training
     def _microbatch_stack(self, batches: List[dict]) -> dict:
