@@ -35,6 +35,31 @@ IGNORE = -100
 LM_CHUNK = 2048
 
 
+def _prefill_attn(q, k, v, q_pos, kv_valid_upto, *, num_groups,
+                  sliding_window=None, k_scale=None, v_scale=None):
+    """Whole-video fresh-cache prefill attention for the eval forward.
+
+    `_per_token_stats` runs ONE full-sequence forward into a fresh ring
+    (offset 0), so the ring's first T rows ARE the chunk's own K/V — the
+    default cache-resident XLA path would materialize (Hq, T, capacity)
+    f32 scores, 50 GB at a 10-minute 8B video (the measured eval_bench
+    OOM: f32[32,19832,19931]). Slice the ring to the query length and run
+    the Pallas flash kernel instead (T is padded to a 128 multiple by
+    StreamEvaluator.__call__). CPU tests keep the reference XLA path."""
+    T = q.shape[2]
+    if (jax.default_backend() == "tpu" and k_scale is None
+            and T % 128 == 0 and q.shape[3] in (64, 128, 256)):
+        from ..ops.flash_attention import flash_attention
+        return flash_attention(q, k[:, :, :T], v[:, :, :T],
+                               1.0 / q.shape[3] ** 0.5, True, 0,
+                               window=sliding_window)
+    from ..models.llama import _attention as xla_attention
+    return xla_attention(q, k, v, q_pos, kv_valid_upto,
+                         num_groups=num_groups,
+                         sliding_window=sliding_window,
+                         k_scale=k_scale, v_scale=v_scale)
+
+
 def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
                      interval_id: int, kv_cache):
     """Jit body: full decoder forward (hidden states only) + a chunked
@@ -46,7 +71,7 @@ def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
     hidden, cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
         kv_cache=kv_cache, lora=lora, lora_scaling=scaling,
-        return_hidden=True)
+        return_hidden=True, attn_impl=_prefill_attn)
     h = hidden[0]                                           # (T, H)
     T = h.shape[0]
     lab = jnp.clip(labels[0], 0, cfg.llama.vocab_size - 1)
@@ -63,12 +88,17 @@ def _per_token_stats(params, cfg: LiveConfig, input_ids, labels, frames,
         lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
                            lora_scaling=scaling,
                            tile_cols=tile_cols).astype(jnp.float32)
-        logp = jax.nn.log_softmax(lg, axis=-1)
-        nll = -jnp.take_along_axis(logp, lc[:, None], axis=-1)[:, 0]
+        # stats need only 4 scalars/position: reduce lg with logsumexp
+        # instead of materializing a second (C, V) f32 log_softmax temp
+        # (identical max-shifted math, ~1 GB saved at V=128256), and fold
+        # the interval-column exclusion into the argmax reduce via a
+        # broadcast select instead of an .at[].set copy of lg.
+        lse = jax.scipy.special.logsumexp(lg, axis=-1)
+        nll = lse - jnp.take_along_axis(lg, lc[:, None], axis=-1)[:, 0]
         argmax = jnp.argmax(lg, axis=-1)
-        argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf),
-                                 axis=-1)
-        return nll, argmax, argmax_excl, jnp.exp(logp[:, interval_id])
+        col = jnp.arange(lg.shape[-1])[None, :] == interval_id
+        argmax_excl = jnp.argmax(jnp.where(col, -jnp.inf, lg), axis=-1)
+        return nll, argmax, argmax_excl, jnp.exp(lg[:, interval_id] - lse)
 
     nll, argmax, argmax_excl, p_interval = jax.lax.map(
         chunk_stats, (h_c, lab_c))
@@ -85,7 +115,7 @@ def _rollforward_stats(params, cfg: LiveConfig, cache, append_ids,
     lora = params.get("lora")
     scaling = (cfg.lora.scaling
                if (cfg.lora is not None and lora is not None) else 1.0)
-    hidden, _ = llama.forward(
+    hidden, cache = llama.forward(
         params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
         kv_cache=cache, lora=lora, lora_scaling=scaling,
         return_hidden=True)
@@ -101,15 +131,19 @@ def _rollforward_stats(params, cfg: LiveConfig, cache, append_ids,
         lg = llama.lm_head(params["llama"], hc, cfg.llama, lora=lora,
                            lora_scaling=scaling,
                            tile_cols=tile_cols).astype(jnp.float32)
-        logp = jax.nn.log_softmax(lg, axis=-1)
+        lse = jax.scipy.special.logsumexp(lg, axis=-1)
         argmax = jnp.argmax(lg, axis=-1)
-        argmax_excl = jnp.argmax(lg.at[:, interval_id].set(-jnp.inf),
-                                 axis=-1)
-        return argmax, argmax_excl, jnp.exp(logp[:, interval_id])
+        col = jnp.arange(lg.shape[-1])[None, :] == interval_id
+        argmax_excl = jnp.argmax(jnp.where(col, -jnp.inf, lg), axis=-1)
+        return argmax, argmax_excl, jnp.exp(lg[:, interval_id] - lse)
 
     argmax, argmax_excl, p_interval = jax.lax.map(chunk_stats, h_c)
+    # return the (discarded) cache so the donated input ring has an output
+    # buffer to alias into — without it XLA keeps input + updated rings
+    # live simultaneously (the "donated buffers were not usable" warning
+    # and the rollforward OOM next to the 8.2 GiB int8 base)
     return (argmax.reshape(-1)[:T], argmax_excl.reshape(-1)[:T],
-            p_interval.reshape(-1)[:T])
+            p_interval.reshape(-1)[:T], cache)
 
 
 class StreamEvaluator:
@@ -122,12 +156,18 @@ class StreamEvaluator:
         self.interval_id = (cfg.frame_token_interval_id if use_interval
                             else cfg.eos_token_id)
         self.use_interval = use_interval
+        # donate the ring: un-donated, the jit holds input + output copies
+        # of the (L, 1, Hkv, capacity, D) K/V — 2 x 2.6 GB at an 8B
+        # 10-minute video, which (next to the 8.2 GiB int8 base + the
+        # chunked-head temps) is exactly the eval_bench OOM margin
         self._stats = jax.jit(
             lambda params, ids, labels, frames, kv_cache: _per_token_stats(
-                params, cfg, ids, labels, frames, self.interval_id, kv_cache))
+                params, cfg, ids, labels, frames, self.interval_id, kv_cache),
+            donate_argnums=(4,))
         self._roll = jax.jit(
             lambda params, cache, ids, frames: _rollforward_stats(
-                params, cfg, cache, ids, frames, self.interval_id))
+                params, cfg, cache, ids, frames, self.interval_id),
+            donate_argnums=(1,))
 
     def _gate_fire_index(self, argmax, argmax_excl, p_int, threshold):
         """First index whose gate prediction is not the interval token.
@@ -171,6 +211,17 @@ class StreamEvaluator:
             (min(turn_frames[r + 1], turn_frames[r] - 1)
              for r in range(num_turns - 1)), default=0)
         capacity = T + max(max_roll, 0) * per_frame_append
+        # pad the prefill to a 128 multiple so _prefill_attn can take the
+        # flash path (pad ids are eos — never <v> — labels IGNORE; causal
+        # attention means positions < T are bit-unaffected, and the turn
+        # scan below only ever indexes real positions)
+        T_pad = -(-T // 128) * 128
+        if T_pad != T:
+            input_ids = np.pad(input_ids, ((0, 0), (0, T_pad - T)),
+                               constant_values=cfg.eos_token_id)
+            labels = np.pad(labels, ((0, 0), (0, T_pad - T)),
+                            constant_values=IGNORE)
+        capacity = max(capacity, T_pad)
         cache = llama.init_kv_cache(cfg.llama, batch=1, capacity=capacity,
                                     dtype=jnp.dtype(cfg.llama.dtype))
         jframes = jnp.asarray(frames) if frames is not None and np.size(frames) else None
@@ -266,13 +317,15 @@ class StreamEvaluator:
         append_ids = np.tile(unit, to_append)[None]
         append_frames = np.asarray(frames)[start_frame:start_frame + to_append]
         # copy so later turns still see the original ring contents
+        # copy EVERY leaf (pos_base included): _roll donates its cache arg,
+        # so any leaf passed by reference would be deleted for later turns
         roll_cache = llama.KVCache(
             k=jnp.copy(cache.k), v=jnp.copy(cache.v),
             offset=jnp.full_like(cache.offset, trim_to),
-            pos_base=cache.pos_base,
+            pos_base=jnp.copy(cache.pos_base),
             k_scale=None if cache.k_scale is None else jnp.copy(cache.k_scale),
             v_scale=None if cache.v_scale is None else jnp.copy(cache.v_scale))
-        argmax, argmax_excl, p_int = self._roll(
+        argmax, argmax_excl, p_int, _ = self._roll(
             self.params, roll_cache, jnp.asarray(append_ids),
             jnp.asarray(append_frames))
         # gate only at the last token of each frame unit
