@@ -133,11 +133,11 @@ def test_beam_generate_no_recompile_across_samples(setup):
     p2 = rng.randint(0, cfg.llama.vocab_size, (1, 9))
     beam_generate(params, cfg, p1, None, num_beams=3, max_new_tokens=6)
     n_prefill = gen._beam_prefill._cache_size()
-    n_step = gen._beam_step._cache_size()
-    assert n_prefill >= 1 and n_step >= 1
+    n_loop = gen._beam_search_loop._cache_size()
+    assert n_prefill >= 1 and n_loop >= 1
     beam_generate(params, cfg, p2, None, num_beams=3, max_new_tokens=6)
     assert gen._beam_prefill._cache_size() == n_prefill
-    assert gen._beam_step._cache_size() == n_step
+    assert gen._beam_search_loop._cache_size() == n_loop
 
 
 def test_beam_capacity_bucketing_shares_cache(setup):
@@ -155,6 +155,25 @@ def test_beam_capacity_bucketing_shares_cache(setup):
     p = rng.randint(0, cfg.llama.vocab_size, (1, 9))
     from videollm_online_tpu.eval import generation as gen
     s.search(p, None, max_new_tokens=6)
-    n = gen._beam_step._cache_size()
+    n = gen._beam_search_loop._cache_size()
+    # different budget, same 64-wide max_new bucket -> same executable
     s.search(p, None, max_new_tokens=10)
-    assert gen._beam_step._cache_size() == n
+    assert gen._beam_search_loop._cache_size() == n
+
+
+@pytest.mark.parametrize("seed,max_new", [(0, 12), (5, 24), (11, 48)])
+def test_beam_device_loop_matches_host_oracle(setup, seed, max_new):
+    """The single-dispatch lax.while_loop beam search returns exactly the
+    host-orchestrated loop's sequences and order (which in turn is tested
+    against HF generate above)."""
+    cfg, tok, params, _ = setup
+    rng = np.random.RandomState(seed)
+    prompt = rng.randint(0, cfg.llama.vocab_size, (1, 9))
+    s = BeamSearcher(params, cfg, num_beams=4)
+    got = s.search(prompt, None, max_new_tokens=max_new,
+                   num_return_sequences=4)
+    ref = s.search_host(prompt, None, max_new_tokens=max_new,
+                        num_return_sequences=4)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

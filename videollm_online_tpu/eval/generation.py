@@ -74,9 +74,7 @@ def _beam_prefill(params, cfg, scaling, embeds, num_valid, cache):
     return jax.nn.log_softmax(logits[:, 0].astype(jnp.float32)), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scaling"),
-                   donate_argnames=("cache",))
-def _beam_step(params, cfg, scaling, tokens, cache, parents):
+def _reorder_and_step(params, cfg, scaling, tokens, cache, parents):
     # reorder the ring along the beam axis, then append one token
     cache = llama.KVCache(
         k=cache.k[:, parents], v=cache.v[:, parents],
@@ -88,6 +86,106 @@ def _beam_step(params, cfg, scaling, tokens, cache, parents):
         params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
         kv_cache=cache, lora=params.get("lora"), lora_scaling=scaling)
     return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32)), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scaling"),
+                   donate_argnames=("cache",))
+def _beam_step(params, cfg, scaling, tokens, cache, parents):
+    return _reorder_and_step(params, cfg, scaling, tokens, cache, parents)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scaling", "K", "max_new_bucket"),
+                   donate_argnames=("cache",))
+def _beam_search_loop(params, cfg, scaling, K, max_new_bucket, max_new_tokens,
+                      logp0, cache, eos_id, length_penalty):
+    """Whole beam search as ONE device program (lax.while_loop).
+
+    The host-orchestrated loop (``BeamSearcher.search_host``) pays a
+    dispatch + a (K, V) f32 readback through the remote tunnel per token
+    — measured 156 ms/step at 8B/5 beams where the device work is ~15 ms
+    (benchmarks/eval_bench.py round 5). This runs the identical HF
+    semantics (reference data/ego4d/lta.py:13 via transformers
+    BeamSearchScorer: top-2K candidates, EOS only finishes from rank < K,
+    finished set keeps the K best, stop when the worst kept hypothesis
+    can't be beaten) with all bookkeeping in registers; the host reads
+    back one final state. lax.top_k and the stable argsort both break
+    ties toward lower indices, matching torch.topk / insertion order.
+    ``max_new_bucket`` (static) sizes the token buffers; the actual budget
+    ``max_new_tokens`` is traced so nearby budgets share one executable
+    (the trainer's per-dataset budget is constant anyway)."""
+    V = logp0.shape[1]
+    lp = jnp.float32(length_penalty)
+
+    def cond(c):
+        return (~c["done"]) & (c["step"] < max_new_tokens)
+
+    def body(c):
+        step = c["step"]
+        total = c["beam_scores"][:, None] + c["cur_logp"]       # (K, V) f32
+        vals, idx = jax.lax.top_k(total.reshape(-1), 2 * K)
+        parent = idx // V
+        tok = idx % V
+        rank = jnp.arange(2 * K)
+        denom = (step + 1).astype(jnp.float32) ** lp
+        # EOS candidates beyond rank K are dropped (HF BeamSearchScorer)
+        is_fin = (tok == eos_id) & (rank < K)
+        cand_scores = jnp.where(is_fin, vals / denom, -jnp.inf)
+        cand_rows = c["beam_tokens"][parent].at[:, step].set(eos_id)
+        # merge into the kept-K finished set; old entries first so ties
+        # resolve to earlier insertions (HF replaces only if strictly
+        # better than the current worst)
+        all_scores = jnp.concatenate([c["fin_scores"], cand_scores])
+        all_rows = jnp.concatenate([c["fin_tokens"], cand_rows])
+        all_lens = jnp.concatenate(
+            [c["fin_lens"], jnp.full((2 * K,), step + 1, jnp.int32)])
+        fs, fi = jax.lax.top_k(all_scores, K)
+        c = dict(c, fin_scores=fs, fin_tokens=all_rows[fi],
+                 fin_lens=all_lens[fi],
+                 fin_count=c["fin_count"] + is_fin.sum())
+        # HF stopping (early_stopping=False): done when the best possible
+        # remaining score can't beat the worst kept finished hypothesis;
+        # checked BEFORE advancing the open beams, which therefore keep
+        # their pre-step tokens for finalization
+        best_possible = total.max() / denom
+        done_now = (c["fin_count"] >= K) & (fs[K - 1] >= best_possible)
+
+        def halt(c):
+            return dict(c, done=jnp.bool_(True))
+
+        def advance(c):
+            is_eos = tok == eos_id
+            order = jnp.argsort(is_eos, stable=True)   # non-EOS in rank order
+            sel = order[:K]
+            nparent = parent[sel]
+            ntok = tok[sel]
+            ntokens = c["beam_tokens"][nparent].at[:, step].set(ntok)
+            cur_logp, cache = _reorder_and_step(
+                params, cfg, scaling, ntok, c["cache"], nparent)
+            return dict(c, step=step + 1, beam_scores=vals[sel],
+                        beam_tokens=ntokens, cache=cache, cur_logp=cur_logp)
+
+        return jax.lax.cond(done_now, halt, advance, c)
+
+    state = {
+        "step": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "cur_logp": logp0,
+        "beam_scores": jnp.full((K,), -1e9, jnp.float32).at[0].set(0.0),
+        "beam_tokens": jnp.zeros((K, max_new_bucket), jnp.int32),
+        "cache": cache,
+        "fin_scores": jnp.full((K,), -jnp.inf, jnp.float32),
+        "fin_tokens": jnp.zeros((K, max_new_bucket), jnp.int32),
+        "fin_lens": jnp.zeros((K,), jnp.int32),
+        "fin_count": jnp.int32(0),
+    }
+    out = jax.lax.while_loop(cond, body, state)
+    # the (discarded) cache gives the donated input ring an output buffer
+    # to alias into — without it the donation is unusable and input +
+    # carried rings stay live simultaneously
+    return (out["step"], out["beam_scores"], out["beam_tokens"],
+            out["fin_scores"], out["fin_tokens"], out["fin_lens"],
+            out["cache"])
 
 
 def _round_up(n: int, mult: int) -> int:
@@ -121,18 +219,11 @@ class BeamSearcher:
         return _beam_step(params, self.cfg, self.scaling, tokens, cache,
                           parents)
 
-    def search(self, input_ids: np.ndarray, frames: Optional[np.ndarray], *,
-               max_new_tokens: int = 512, num_return_sequences: int = None,
-               length_penalty: float = 1.0,
-               num_valid: Optional[int] = None) -> List[np.ndarray]:
-        """input_ids: (1, T) prompt. Returns ``num_return_sequences``
-        generated-id arrays (EOS included when produced), best first."""
+    def _embed_and_prefill(self, input_ids, frames, num_valid,
+                           max_new_tokens):
         cfg, K = self.cfg, self.K
-        n_ret = num_return_sequences or K
-        eos = cfg.eos_token_id
         T = input_ids.shape[1]
         capacity = _round_up(T + max_new_tokens + 8, self.CAPACITY_BUCKET)
-
         cache = llama.init_kv_cache(cfg.llama, batch=K, capacity=capacity,
                                     dtype=jnp.dtype(cfg.llama.dtype))
         embeds = live.joint_embed(
@@ -140,9 +231,60 @@ class BeamSearcher:
             frames=jnp.asarray(frames) if frames is not None and np.size(frames)
             else None)
         embeds = jnp.broadcast_to(embeds, (K,) + embeds.shape[1:])
-        logp, cache = self._prefill(self.params, embeds,
-                                    jnp.full((K,), num_valid or T, jnp.int32),
-                                    cache)
+        return self._prefill(self.params, embeds,
+                             jnp.full((K,), num_valid or T, jnp.int32),
+                             cache)
+
+    def search(self, input_ids: np.ndarray, frames: Optional[np.ndarray], *,
+               max_new_tokens: int = 512, num_return_sequences: int = None,
+               length_penalty: float = 1.0,
+               num_valid: Optional[int] = None) -> List[np.ndarray]:
+        """input_ids: (1, T) prompt. Returns ``num_return_sequences``
+        generated-id arrays (EOS included when produced), best first.
+        The whole search is ONE device dispatch (_beam_search_loop) + one
+        final state readback; ``search_host`` is the step-by-step host
+        oracle it is tested equal to."""
+        cfg, K = self.cfg, self.K
+        n_ret = num_return_sequences or K
+        logp, cache = self._embed_and_prefill(input_ids, frames, num_valid,
+                                              max_new_tokens)
+        (step, beam_scores, beam_tokens, fin_scores, fin_tokens, fin_lens,
+         _) = _beam_search_loop(self.params, cfg, self.scaling, K,
+                              _round_up(max_new_tokens, 64),
+                              jnp.int32(max_new_tokens), logp, cache,
+                              jnp.int32(cfg.eos_token_id),
+                              float(length_penalty))
+        step = int(step)
+        fin_scores = np.asarray(fin_scores)
+        fin_tokens = np.asarray(fin_tokens)
+        fin_lens = np.asarray(fin_lens)
+        finished: List[Tuple[float, List[int]]] = [
+            (float(fin_scores[i]), fin_tokens[i, :int(fin_lens[i])].tolist())
+            for i in range(K) if np.isfinite(fin_scores[i])]
+        # finalize open beams (budget exhausted / stopped): same length
+        # normalization as the in-loop finishes
+        for score, toks in zip(np.asarray(beam_scores),
+                               np.asarray(beam_tokens)):
+            finished.append((float(score) / (max(step, 1) ** length_penalty),
+                             toks[:step].tolist()))
+        finished.sort(key=lambda x: -x[0])
+        return [np.asarray(toks, np.int64)
+                for _, toks in finished[:n_ret]]
+
+    def search_host(self, input_ids: np.ndarray,
+                    frames: Optional[np.ndarray], *,
+                    max_new_tokens: int = 512,
+                    num_return_sequences: int = None,
+                    length_penalty: float = 1.0,
+                    num_valid: Optional[int] = None) -> List[np.ndarray]:
+        """Host-orchestrated reference loop (one dispatch + one (K, V)
+        readback per token — slow through the remote tunnel; kept as the
+        semantics oracle for the device loop)."""
+        cfg, K = self.cfg, self.K
+        n_ret = num_return_sequences or K
+        eos = cfg.eos_token_id
+        logp, cache = self._embed_and_prefill(input_ids, frames, num_valid,
+                                              max_new_tokens)
         logp = np.asarray(logp)  # (K, V) — identical rows after prefill
 
         beam_scores = np.full((K,), -1e9, np.float64)
